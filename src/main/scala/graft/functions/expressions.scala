@@ -1,0 +1,247 @@
+package graft.functions
+
+import graft.text.{PipelineConfig, TextPipeline}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions for the nxsearch-semantics text pipeline and the
+ * dedup signatures. All are deterministic and codegen'd via a static-method
+ * call so they stay inside WholeStageCodegen spans (ICU/stemmer state lives
+ * in thread-locals, one per executor thread — the Spark analogue of the
+ * reference's per-pipeline reusable filter contexts,
+ * /root/reference/src/core/filters.c:125-178).
+ *
+ * Reference semantics:
+ *  - NxsTokenizeExpr = tokenize() + filter_pipeline_run()
+ *    (/root/reference/src/core/tokenizer.c:234-302, filters.c:199-219).
+ *  - Shingle/MinHash/SimHash are the dedup layer mandated by BASELINE.json's
+ *    north_rule; their input is the reference token stream.
+ */
+object NxsTokenizeExpr {
+  /** Static entry used by both interpreted eval and codegen. */
+  def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
+      stopwords: Boolean): ArrayData = {
+    val langStr = if (lang == null || lang.numBytes() == 0) "en" else lang.toString
+    val cfg = PipelineConfig(
+      filters = filtersCsv.split(',').toSeq.filter(_.nonEmpty),
+      lang = langStr, stopwordsEnabled = stopwords)
+    val toks = TextPipeline.tokens(text.toString, cfg)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nxs_tokenize(text, lang)` → array<string> — the full post-filter token
+  * stream (duplicates kept; its length is the reference's BM25 dl). */
+case class NxsTokenizeExpr(
+    text: Expression, lang: Expression,
+    filtersCsv: String = "normalizer,stopwords,stemmer",
+    stopwords: Boolean = true)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = lang
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+  override def prettyName: String = "nxs_tokenize"
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else NxsTokenizeExpr.tokenize(
+      t.asInstanceOf[UTF8String],
+      lang.eval(input).asInstanceOf[UTF8String], filtersCsv, stopwords)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fcsv = ctx.addReferenceObj("filtersCsv", filtersCsv, "java.lang.String")
+    val textGen = text.genCode(ctx)
+    val langGen = lang.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${textGen.code}
+        ${langGen.code}
+        boolean ${ev.isNull} = ${textGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.NxsTokenizeExpr.tokenize(
+            ${textGen.value},
+            ${langGen.isNull} ? null : ${langGen.value},
+            $fcsv, $stopwords);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, lang = newRight)
+}
+
+object ShingleHashesExpr {
+  /** Distinct hashed w-gram shingles of the token stream (set semantics for
+    * Jaccard). Token hash = XXH64 over its UTF-8 bytes; w-gram hash = XXH64
+    * fold over the window's token hashes. w=1 reproduces the reference's
+    * unigram term stream as a hash set. */
+  def shingles(tokens: ArrayData, w: Int, seed: Long): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i + w <= n) {
+      var h = seed
+      var j = 0
+      while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nxs_shingles(tokens)` → array<bigint> — sorted distinct hashed w-shingles. */
+case class ShingleHashesExpr(child: Expression, w: Int, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nxs_shingles"
+
+  override def nullSafeEval(tokens: Any): Any =
+    ShingleHashesExpr.shingles(tokens.asInstanceOf[ArrayData], w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashesExpr.shingles($c, $w, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  /** k-permutation MinHash signature over the shingle hash set.
+    * Permutation j remixes each shingle with XXH64(shingle, seed+j) and takes
+    * the min — standard one-hash-per-permutation MinHash (Broder 1997). */
+  def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(shingles.getLong(i), seed + j)
+        if (h < min) min = h
+        i += 1
+      }
+      sig(j) = min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `nxs_minhash(shingles)` → array<bigint> of length k. Empty shingle sets
+  * produce the all-MaxValue signature (never matches a non-empty doc). */
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nxs_minhash"
+
+  override def nullSafeEval(shingles: Any): Any =
+    MinHashSigExpr.signature(shingles.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigExpr.signature($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  /** Charikar SimHash over the token stream: each occurrence votes ±1 on
+    * each of 64 bits of XXH64(token); sign of the sum sets the bit. */
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val n = tokens.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `nxs_simhash(tokens)` → bigint (64-bit fingerprint). */
+case class SimHash64Expr(child: Expression, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nxs_simhash"
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHash64Expr.simhash(tokens.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64Expr.simhash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CosineSimExpr {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** `vec_cosine(a, b)` → double, over array<float> embeddings. */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimExpr.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

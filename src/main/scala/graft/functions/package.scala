@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.bridge.{column, expression}
+
+/**
+ * Column-level API for the engine's custom Catalyst expressions, plus SQL
+ * registration. Mirrors the `org.apache.spark.sql.functions` style: these
+ * compose with built-ins and stay codegen'd.
+ */
+package object functions {
+
+  /** Full reference filter pipeline: normalizer → stopwords → stemmer
+    * (/root/reference/src/core/nxs.c:87-89 default). */
+  def nxs_tokenize(text: Column, lang: Column): Column =
+    column(NxsTokenizeExpr(expression(text), expression(lang)))
+
+  def nxs_tokenize(text: Column): Column =
+    nxs_tokenize(text, org.apache.spark.sql.functions.lit("en"))
+
+  /** Pipeline with a custom filter list, e.g. Seq("normalizer"). */
+  def nxs_tokenize_filters(text: Column, lang: Column, filters: Seq[String],
+      stopwords: Boolean = true): Column =
+    column(NxsTokenizeExpr(expression(text), expression(lang),
+      filters.mkString(","), stopwords))
+
+  def nxs_shingles(tokens: Column, w: Int = 5, seed: Long = 42L): Column =
+    column(ShingleHashesExpr(expression(tokens), w, seed))
+
+  def nxs_minhash(shingles: Column, k: Int = 128, seed: Long = 42L): Column =
+    column(MinHashSigExpr(expression(shingles), k, seed))
+
+  def nxs_simhash(tokens: Column, seed: Long = 42L): Column =
+    column(SimHash64Expr(expression(tokens), seed))
+
+  def vec_cosine(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+
+  /** Register SQL-callable forms (static default configs). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("nxs_tokenize",
+      es => NxsTokenizeExpr(es.head,
+        es.lift(1).getOrElse(org.apache.spark.sql.catalyst.expressions.Literal("en"))),
+      "built-in")
+    reg.createOrReplaceTempFunction("nxs_shingles",
+      es => ShingleHashesExpr(es.head, 5, 42L), "built-in")
+    reg.createOrReplaceTempFunction("nxs_minhash",
+      es => MinHashSigExpr(es.head, 128, 42L), "built-in")
+    reg.createOrReplaceTempFunction("nxs_simhash",
+      es => SimHash64Expr(es.head, 42L), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => CosineSimExpr(es.head, es(1)), "built-in")
+  }
+}
