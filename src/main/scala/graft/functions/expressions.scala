@@ -245,3 +245,69 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+object WinnowExpr {
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS local document fingerprinting algorithm): hash every a-gram
+    * of the token stream, then keep the minimum hash of every sliding
+    * window of `win` consecutive a-gram hashes (rightmost min on ties).
+    * Guarantee: two documents sharing a token run of length >= a + win - 1
+    * share at least one fingerprint. Used by the exact-long-substring
+    * duplication pass. Returns sorted distinct fingerprints. */
+  def fingerprints(tokens: ArrayData, a: Int, win: Int, seed: Long): ArrayData = {
+    val n = tokens.numElements()
+    if (n < a) return new GenericArrayData(Array.empty[Long])
+    val nGrams = n - a + 1
+    val gh = new Array[Long](nGrams)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed); i += 1 }
+    i = 0
+    while (i < nGrams) {
+      var h = seed
+      var j = 0
+      while (j < a) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= win) {
+      // single window
+      var min = gh(0); i = 1
+      while (i < nGrams) { if (gh(i) <= min) min = gh(i); i += 1 }
+      set.add(min)
+    } else {
+      i = 0
+      while (i + win <= nGrams) {
+        var min = gh(i)
+        var j = i + 1
+        while (j < i + win) { if (gh(j) <= min) min = gh(j); j += 1 }
+        set.add(min)
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nxs_winnow(tokens)` → array<bigint> — winnowing fingerprints for the
+  * exact-substring duplication pass. */
+case class WinnowExpr(child: Expression, a: Int, win: Int, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nxs_winnow"
+
+  override def nullSafeEval(tokens: Any): Any =
+    WinnowExpr.fingerprints(tokens.asInstanceOf[ArrayData], a, win, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowExpr.fingerprints($c, $a, $win, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
