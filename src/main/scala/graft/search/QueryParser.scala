@@ -1,0 +1,166 @@
+package graft.search
+
+/**
+ * Query language front end — same token set, precedence, and implicit-OR
+ * semantics as the reference's re2c lexer + lemon grammar:
+ *   - operators: AND|'&', OR|'|', NOT (case-insensitive keywords),
+ *     parentheses (/root/reference/src/query/scan.re:64-66,96-100)
+ *   - quoted strings keep escapes raw (scan.re:106-111 strndup's the raw
+ *     span between the quotes)
+ *   - free-form strings: any run without whitespace/parens (scan.re:76)
+ *   - precedence NOT > AND > OR, left-assoc; `A AND NOT B` is the binary
+ *     and-not operator; top-level juxtaposition is implicit OR
+ *     (/root/reference/src/query/grammar.y:66-99)
+ *   - nesting capped at 100 like NXS_QUERY_RLIMIT
+ *     (/root/reference/src/query/search.c:69-70)
+ */
+sealed trait QExpr
+final case class QToken(value: String) extends QExpr
+final case class QAnd(l: QExpr, r: QExpr) extends QExpr
+final case class QOr(l: QExpr, r: QExpr) extends QExpr
+final case class QAndNot(l: QExpr, r: QExpr) extends QExpr
+
+object QueryParser {
+
+  sealed trait Tok
+  case object TAnd extends Tok
+  case object TOr extends Tok
+  case object TNot extends Tok
+  case object TOpen extends Tok
+  case object TClose extends Tok
+  final case class TStr(v: String, quoted: Boolean) extends Tok
+
+  private val ws = " \t\f\r\n"
+
+  /** Tokenize; Left(error) on lexical error (e.g. unterminated quote that
+    * also fails as free-form — cannot happen since FF accepts quotes). */
+  def lex(q: String): Either[String, List[Tok]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (ws.indexOf(c) >= 0) i += 1
+      else if (c == '(') { out += TOpen; i += 1 }
+      else if (c == ')') { out += TClose; i += 1 }
+      else {
+        // candidate 1: quoted string (only if it starts with a quote)
+        var quotedEnd = -1
+        if (c == '\'' || c == '"') {
+          var j = i + 1
+          var closed = false
+          while (j < n && !closed) {
+            val cj = q.charAt(j)
+            if (cj == '\\' && j + 1 < n) j += 2
+            else if (cj == c) { closed = true }
+            else j += 1
+          }
+          if (closed) quotedEnd = j + 1
+        }
+        // candidate 2: free-form run (no whitespace/parens)
+        var ffEnd = i
+        while (ffEnd < n && ws.indexOf(q.charAt(ffEnd)) < 0 &&
+               q.charAt(ffEnd) != '(' && q.charAt(ffEnd) != ')') ffEnd += 1
+        // re2c: longest match wins; tie -> earlier rule (quoted)
+        if (quotedEnd >= ffEnd && quotedEnd > i) {
+          out += TStr(q.substring(i + 1, quotedEnd - 1), quoted = true)
+          i = quotedEnd
+        } else {
+          val run = q.substring(i, ffEnd)
+          run match {
+            case "&" => out += TAnd
+            case "|" => out += TOr
+            case _ if run.equalsIgnoreCase("and") => out += TAnd
+            case _ if run.equalsIgnoreCase("or") => out += TOr
+            case _ if run.equalsIgnoreCase("not") => out += TNot
+            case _ => out += TStr(run, quoted = false)
+          }
+          i = ffEnd
+        }
+      }
+    }
+    Right(out.toList)
+  }
+
+  private final class P(var toks: List[Tok]) {
+    var depth = 0
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val h = toks.head; toks = toks.tail; h }
+
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+    // precedence: OR=1, AND=2
+    def parseExpr(minPrec: Int): QExpr = {
+      depth += 1
+      if (depth > 100) fail("query nesting limit reached (100 levels)")
+      var left = parsePrimary()
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(TOr) if minPrec <= 1 =>
+            next(); left = QOr(left, parseExpr(2))
+          case Some(TAnd) if minPrec <= 2 =>
+            next()
+            peek match {
+              case Some(TNot) => next(); left = QAndNot(left, parseExpr(3))
+              case _ => left = QAnd(left, parseExpr(3))
+            }
+          case _ => done = true
+        }
+      }
+      depth -= 1
+      left
+    }
+
+    def parsePrimary(): QExpr = peek match {
+      case Some(TStr(v, _)) => next(); QToken(v)
+      case Some(TOpen) =>
+        next()
+        val e = parseExpr(0)
+        peek match {
+          case Some(TClose) => next(); e
+          case _ => fail("syntax error: expected ')'")
+        }
+      case other => fail(s"syntax error near $other")
+    }
+
+    /** Top level: expr_list — juxtaposed exprs fold into OR
+      * (grammar.y:81-84). */
+    def parseQuery(): QExpr = {
+      var root = parseExpr(0)
+      while (peek.isDefined) {
+        peek match {
+          case Some(TStr(_, _)) | Some(TOpen) =>
+            root = QOr(root, parseExpr(0))
+          case other => fail(s"syntax error near $other")
+        }
+      }
+      root
+    }
+  }
+
+  def parse(q: String): Either[String, QExpr] =
+    lex(q).flatMap { toks =>
+      if (toks.isEmpty) Left("empty query")
+      else
+        try Right(new P(toks).parseQuery())
+        catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    }
+
+  /** IR dump in the reference's t_queryparser format:
+    * `(AND (OR `A` `B`) `C`)` (t_queryparser.c:155-177). */
+  def repr(e: QExpr): String = e match {
+    case QToken(v) => s"`$v`"
+    case QAnd(l, r) => s"(AND ${repr(l)} ${repr(r)})"
+    case QOr(l, r) => s"(OR ${repr(l)} ${repr(r)})"
+    case QAndNot(l, r) => s"(NOT ${repr(l)} ${repr(r)})"
+  }
+
+  /** All leaf values (pre-pipeline). */
+  def leaves(e: QExpr): Seq[String] = e match {
+    case QToken(v) => Seq(v)
+    case QAnd(l, r) => leaves(l) ++ leaves(r)
+    case QOr(l, r) => leaves(l) ++ leaves(r)
+    case QAndNot(l, r) => leaves(l) ++ leaves(r)
+  }
+}

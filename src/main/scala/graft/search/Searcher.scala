@@ -1,0 +1,134 @@
+package graft.search
+
+import graft.text.TextPipeline
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Query execution: the reference's bitmap set algebra + ranking + top-k
+ * (/root/reference/src/query/search.c:118-271), re-expressed as relational
+ * algebra that Catalyst plans:
+ *   leaf      → postings semi-selected by term  (bitmap copy)
+ *   AND       → left-semi join on doc_id        (and_inplace)
+ *   OR        → union + distinct                (or_inplace)
+ *   AND NOT   → left-anti join on doc_id        (andnot_inplace)
+ *   score     → sum over matching query terms per doc (results.c:128-150)
+ *   top-k     → ORDER BY score DESC LIMIT k = TakeOrderedAndProject
+ *               (the distributed form of the reference's capped min-heap,
+ *               src/algo/heap.c:58-221)
+ *
+ * Unresolved query terms are trimmed before execution
+ * (tokenizer.c:181-191) — Catalyst's PropagateEmptyRelation then collapses
+ * the affected AND branches, the relational analogue of the reference's
+ * empty-bitmap short-circuit.
+ */
+object Searcher {
+
+  sealed trait Algo
+  case object TfIdf extends Algo
+  case object Bm25 extends Algo   // the reference default (nxs_impl.h:40)
+
+  final case class Prepared(
+      root: QExpr,
+      resolved: Map[String, String]) // leaf value -> resolved index term
+
+  /** Leaf preparation: run each leaf through the same filter pipeline as
+    * indexing — as ONE token, no word-break (query.c:99-104 calls
+    * tokenize_value, not tokenize) — then TRIM unresolved terms, with
+    * optional fuzzy fallback to the most popular term within Levenshtein
+    * distance <= 2 (tokenizer.c:160-199; idxterm_fuzzysearch
+    * idxterm.c:210-249; tolerance index.h:26). */
+  def prepare(idx: SearchIndex, root: QExpr, fuzzy: Boolean): Prepared = {
+    val leafVals = QueryParser.leaves(root).distinct
+    val piped: Map[String, Option[String]] =
+      leafVals.map(v => v -> TextPipeline.filterToken(v, idx.pipeline)).toMap
+    val tokens = piped.values.flatten.toSeq.distinct
+    if (tokens.isEmpty) return Prepared(root, Map.empty)
+
+    val present: Set[String] = idx.termStats
+      .where(col("term").isin(tokens: _*))
+      .select("term").collect().map(_.getString(0)).toSet
+
+    val fuzzyResolved: Map[String, String] =
+      if (!fuzzy) Map.empty
+      else tokens.filterNot(present).flatMap { t =>
+        // candidate = max-total term within distance 2 (deterministic
+        // tie-break by term for replay stability)
+        val cand = idx.termStats
+          .where(levenshtein(col("term"), lit(t)) <= 2)
+          .orderBy(col("total").desc, col("term"))
+          .select("term").limit(1).collect()
+        cand.headOption.map(r => t -> r.getString(0))
+      }.toMap
+
+    val resolved = piped.collect {
+      case (leaf, Some(tok)) if present(tok) => leaf -> tok
+      case (leaf, Some(tok)) if fuzzyResolved.contains(tok) =>
+        leaf -> fuzzyResolved(tok)
+    }
+    Prepared(root, resolved)
+  }
+
+  /** Evaluate the boolean algebra to the matching doc set. */
+  private def evalDocs(idx: SearchIndex, p: Prepared, e: QExpr): DataFrame = {
+    val spark = idx.postings.sparkSession
+    def empty = idx.postings.select("doc_id").limit(0)
+    e match {
+      case QToken(v) =>
+        p.resolved.get(v) match {
+          case Some(term) =>
+            idx.postings.where(col("term") === term).select("doc_id")
+          case None => empty
+        }
+      case QAnd(l, r) =>
+        evalDocs(idx, p, l).join(evalDocs(idx, p, r), Seq("doc_id"), "left_semi")
+      case QOr(l, r) =>
+        evalDocs(idx, p, l).unionByName(evalDocs(idx, p, r)).distinct()
+      case QAndNot(l, r) =>
+        evalDocs(idx, p, l).join(evalDocs(idx, p, r), Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Per-(doc, term) score column. BM25 constants and the *integer* average
+    * document length division replicate /root/reference/src/algo/ranking.c
+    * (k=1.2, b=0.75 :141-142; adl integer division :163). */
+  private def scoreCol(idx: SearchIndex, algo: Algo): Column = algo match {
+    case TfIdf =>
+      // tf = ln(cnt+1); idf = ln(N/df) + 1   (ranking.c:90-91)
+      (log(col("cnt") + 1) *
+        (log(lit(idx.docCount.toDouble) / col("df")) + 1)).as("score")
+    case Bm25 =>
+      val k = 1.2; val b = 0.75
+      val adl = (idx.tokenCount / idx.docCount).toDouble // integer division!
+      val tf = log(col("cnt") + 1)
+      val tfBm25 = tf / (tf + lit(k) * (lit(1 - b) + lit(b) * col("dl") / lit(adl)))
+      val idf = log((lit(idx.docCount.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      (tfBm25 * idf).as("score")
+  }
+
+  /** Full search: returns (doc_id, score), descending, capped at `limit`
+    * (default 1000 = NXS_DEFAULT_RESULTS_LIMIT, nxs_impl.h:39). */
+  def search(idx: SearchIndex, query: String, algo: Algo = Bm25,
+      limit: Int = 1000, fuzzy: Boolean = true): Either[String, DataFrame] =
+    QueryParser.parse(query).map { root =>
+      val p = prepare(idx, root, fuzzy)
+      val queryTerms = p.resolved.values.toSeq.distinct
+      if (queryTerms.isEmpty) {
+        idx.postings.select(col("doc_id"), lit(0.0).as("score")).limit(0)
+      } else {
+        val docs = evalDocs(idx, p, root)
+        // score every query term present in a matching doc, sum per doc
+        // (search.c:236-271, results.c:128-150)
+        idx.postings
+          .where(col("term").isin(queryTerms: _*))
+          .join(docs, Seq("doc_id"), "left_semi")
+          .join(broadcast(idx.termStats.where(col("term").isin(queryTerms: _*))),
+            Seq("term"))
+          .join(idx.docStats, Seq("doc_id"))
+          .select(col("doc_id"), scoreCol(idx, algo))
+          .groupBy("doc_id").agg(sum("score").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(limit)
+      }
+    }
+}
