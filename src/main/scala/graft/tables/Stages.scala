@@ -1,0 +1,100 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/**
+ * Iceberg-style stage persistence (SURVEY.md §7.1: no Iceberg runtime jar is
+ * available offline, so the properties the north_rule actually needs are
+ * implemented directly):
+ *
+ *  - atomic commit: stage output parquet is only visible once its JSON
+ *    manifest is atomically moved into place (write-tmp + ATOMIC_MOVE —
+ *    the same publish discipline as the reference's atomic data_len header
+ *    publish, /root/reference/src/index/terms.c:302-305);
+ *  - checkpoint resume: a re-run with an unchanged fingerprint (config +
+ *    input lineage) reads the committed parquet instead of recomputing;
+ *  - lineage: every manifest records its input stage names + fingerprints;
+ *  - metrics: per-stage, per-partition row counts appended to a `_metrics`
+ *    parquet table (spark_partition_id based).
+ *
+ * Swapping this for a real Iceberg catalog is a config change: `runStage`
+ * maps to `writeTo(...).createOrReplace()` + snapshot lookup.
+ */
+final class StageStore(val spark: SparkSession, val root: String) {
+
+  private def dir(name: String) = s"$root/$name"
+  private def dataDir(name: String) = s"${dir(name)}/data"
+  private def manifestPath(name: String) = Paths.get(dir(name), "MANIFEST.json")
+
+  private def readManifest(name: String): Option[Map[String, String]] = {
+    val p = manifestPath(name)
+    if (!Files.exists(p)) None
+    else {
+      // flat string-map JSON, written by us
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val kv = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      Some(kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
+    }
+  }
+
+  private def writeManifest(name: String, fields: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(dir(name)))
+    val json = fields.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }
+      .mkString("{\n  ", ",\n  ", "\n}")
+    val tmp = Paths.get(dir(name), s"MANIFEST.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** True if `name` is committed with the given fingerprint. */
+  def isCommitted(name: String, fingerprint: String): Boolean =
+    readManifest(name).exists(_.get("fingerprint").contains(fingerprint))
+
+  /** Run (or resume) a stage. `inputs` are upstream stage names — their
+    * fingerprints are folded into this stage's fingerprint, so an upstream
+    * config change invalidates everything downstream. */
+  def runStage(name: String, configFingerprint: String,
+      inputs: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
+    val lineage = inputs.map { in =>
+      val fp = readManifest(in).flatMap(_.get("fingerprint")).getOrElse("?")
+      s"$in=$fp"
+    }.mkString(";")
+    val fingerprint = s"$configFingerprint|$lineage".hashCode.toHexString +
+      ":" + configFingerprint
+    if (isCommitted(name, fingerprint)) {
+      spark.read.parquet(dataDir(name))
+    } else {
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode(SaveMode.Overwrite).parquet(dataDir(name))
+      val committed = spark.read.parquet(dataDir(name))
+      val rows = committed.count()
+      val durMs = (System.nanoTime() - t0) / 1e6
+      // per-partition metrics (lineage + skew visibility at scale)
+      val metrics = committed
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(name))
+        .withColumn("run_fingerprint", lit(fingerprint))
+      metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+      writeManifest(name, Map(
+        "stage" -> name,
+        "fingerprint" -> fingerprint,
+        "rows" -> rows.toString,
+        "duration_ms" -> f"$durMs%.1f",
+        "inputs" -> lineage,
+        "schema" -> committed.schema.simpleString.take(4000)))
+      committed
+    }
+  }
+
+  def metrics(): DataFrame = spark.read.parquet(s"$root/_metrics")
+}
