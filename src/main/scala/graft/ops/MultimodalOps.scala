@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, processed per-partition with batched "decoders".
+ *
+ * The actual media codecs are NOT available in this environment, so the
+ * decode kernels are clearly-marked deterministic STUBS (parse of our own
+ * fake header + hash-derived features). Everything around them — schema,
+ * binary column handling, per-partition decoder lifecycle, batch iteration,
+ * partitioning — is real and tested; swapping `StubCodec` for a JNI/FFI
+ * codec is a drop-in change.
+ *
+ * Fake media layout (deterministic from doc_id):
+ *   bytes[0..3]  magic "GIMG"
+ *   bytes[4..7]  width  (big-endian int)
+ *   bytes[8..11] height (big-endian int)
+ *   bytes[12]    channels
+ *   bytes[13..]  payload (pseudo-pixels)
+ */
+object MultimodalOps {
+
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, n_bytes: Long)
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+      frame_hash: Long)
+
+  /** Attach a deterministic fake media blob per row (stand-in for a real
+    * WARC/image column like input_hint's `html: binary`). */
+  def withFakeMedia(df: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      val w = 16 + (graft.corpus.SyntheticCorpus.mix(docId) & 0xff).toInt
+      val h = 16 + (graft.corpus.SyntheticCorpus.mix(docId + 1) & 0xff).toInt
+      val c = 3
+      val payloadLen = 64
+      val bb = java.nio.ByteBuffer.allocate(13 + payloadLen)
+      bb.put("GIMG".getBytes("US-ASCII")).putInt(w).putInt(h).put(c.toByte)
+      var i = 0
+      while (i < payloadLen) {
+        bb.put((graft.corpus.SyntheticCorpus.mix2(docId, i) & 0xff).toByte)
+        i += 1
+      }
+      bb.array()
+    }
+    df.withColumn("media", gen(col("doc_id")))
+  }
+
+  /** STUB decoder — the only piece a real deployment replaces. */
+  private object StubCodec {
+    /** Simulates an expensive per-partition decoder handle (a real codec
+      * would open a native context here, once per partition, not per row). */
+    def open(): StubCodec.type = this
+    def decodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 13 && bytes(0) == 'G', "bad magic")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(4)
+      (bb.getInt(), bb.getInt(), bb.get().toInt)
+    }
+    /** STUB feature extractor: hash-derived unit vector (real impl: CNN /
+      * audio embedding over the decoded frame). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      var norm = 0.0
+      while (i < dim) {
+        val h = graft.corpus.SyntheticCorpus.mix2(
+          java.util.Arrays.hashCode(bytes).toLong, i)
+        out(i) = ((h % 1000) / 1000.0f)
+        norm += out(i) * out(i)
+        i += 1
+      }
+      val n = math.sqrt(norm).toFloat
+      if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+      out
+    }
+  }
+
+  /** Decode typed metadata from the binary column — mapPartitions so the
+    * (stub) codec is opened once per partition, batched over rows. */
+  def decodeMeta(df: DataFrame): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = StubCodec.open() // once per partition
+        it.map { case (id, bytes) =>
+          val (w, h, c) = codec.decodeHeader(bytes)
+          MediaMeta(id, w, h, c, bytes.length.toLong)
+        }
+      }
+  }
+
+  /** Feature extraction (STUB kernel, real batching/schema). */
+  def extractFeatures(df: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = StubCodec.open()
+        it.map { case (id, bytes) =>
+          MediaFeatures(id, codec.features(bytes, dim))
+        }
+      }
+  }
+
+  /** Video-style frame sampling plumbing: emit n evenly spaced "frames"
+    * (offset + content hash) per blob. */
+  def frameSample(df: DataFrame, n: Int = 4): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val body = bytes.length - 13
+        (0 until n).map { f =>
+          val off = 13L + (body.toLong * f) / n
+          Frame(id, f, off,
+            graft.corpus.SyntheticCorpus.mix2(id, bytes(off.toInt).toLong))
+        }
+      }
+  }
+}

@@ -1,0 +1,330 @@
+package graft.ops
+
+import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale training-data pipeline operators over the driver testdata
+ * tables (documents / embeddings / events). Each op is a pure
+ * DataFrame → DataFrame function; the SQL-expressible ones have DuckDB
+ * oracles registered in SparkEntry.oracleSql.
+ *
+ * Scale notes per op are inline — every groupBy here is a map-side
+ * combinable hash agg; every join is either broadcast (small dimension) or
+ * an equi-join on a high-cardinality key.
+ */
+object TrainingOps {
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Simple whitespace tokens, lowercased — the SQL-oracle-parity token
+    * stream (DuckDB string_split equivalent). The full reference pipeline
+    * (`nxs_tokenize`) is used by the non-SQL ops; this split variant exists
+    * so the relational plumbing is DuckDB-verifiable end-to-end. */
+  private def splitTokens(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+
+  // ---- dedup family ----
+
+  /** Exact dedup: hash-groupBy on full text. At 100 TB this groups on
+    * xxhash64(text) first (64-bit prehash) so the shuffle carries hashes,
+    * not bodies; here text directly for oracle parity. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** N-gram (unigram set) Jaccard between adjacent doc_ids — fully
+    * relational (intersection via self-join) so DuckDB can verify. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = splitTokens(documents(spark, dir)).distinct()
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id") && col("a.term") === col("b.term"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    counts.as("ca")
+      .join(counts.as("cb"), col("ca.doc_id") + 1 === col("cb.doc_id"))
+      .join(inter, col("ca.doc_id") === inter("doc_id"), "left")
+      .select(col("ca.doc_id").as("doc_a"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("ca.n") + col("cb.n") - coalesce(col("inter"), lit(0L))), 4)
+          .as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup clusters over documents (reference pipeline
+    * tokens). Non-SQL; correctness pinned by DedupPipelineSpec's oracle. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pages = documents(spark, dir)
+      .select(col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        lit(null: Array[Byte]).as("html"), col("text"),
+        coalesce(col("lang"), lit("en")).as("lang"))
+    DedupPipeline.clusters(pages,
+      DedupConfig(runSimhash = false, runWinnow = false))
+      .select(col("url").cast("long").as("doc_id"), col("cluster_id"),
+        col("is_champion"))
+  }
+
+  /** SimHash near-dup pairs over documents. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig(runMinhash = false, runWinnow = false)
+    val pages = documents(spark, dir)
+      .select(col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        lit(null: Array[Byte]).as("html"), col("text"),
+        coalesce(col("lang"), lit("en")).as("lang"))
+    val sigs = DedupPipeline.signatures(pages, cfg)
+    DedupPipeline.simhashCandidates(sigs, cfg)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Winnowing fingerprint duplication pass (exact shared substrings). */
+  def winnowDups(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig(runMinhash = false, runSimhash = false,
+      winnowA = 20, winnowWindow = 11)
+    val pages = documents(spark, dir)
+      .select(col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        lit(null: Array[Byte]).as("html"), col("text"),
+        coalesce(col("lang"), lit("en")).as("lang"))
+    val sigs = DedupPipeline.signatures(pages, cfg)
+    DedupPipeline.winnowCandidates(sigs, cfg)
+  }
+
+  // ---- similarity search ----
+
+  /** Brute-force cosine similarity between adjacent vec_ids (oracle:
+    * DuckDB list_cosine_similarity). Uses the codegen'd vec_cosine
+    * expression. */
+  def embedCosineAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+  }
+
+  /** Brute-force top-k neighbors for a probe set (first `nProbes` vectors).
+    * The probe side is broadcast — at scale this is the standard
+    * "query × corpus" broadcast-join ANN baseline; ordering is on rounded
+    * cosine with vec_id tie-break so ranking is engine-stable. */
+  def embedTopK(spark: SparkSession, dir: String, nProbes: Int = 5,
+      k: Int = 3): DataFrame = {
+    val e = embeddings(spark, dir)
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vec_cosine(col("embedding"), col("probe_vec")), 4).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("probe_id", "vec_id", "cos", "rank")
+  }
+
+  /** LSH-bucketed ANN (random-hyperplane / sign-LSH): 16 seeded hyperplanes
+    * → 16-bit bucket; candidates = same bucket; exact cosine re-rank inside
+    * the bucket. The scale path: buckets shard the corpus so the join is
+    * equi on bucket id instead of a cross join. */
+  def annLsh(spark: SparkSession, dir: String, nBits: Int = 12): DataFrame = {
+    val e = embeddings(spark, dir)
+    // hyperplane h, dim d pseudo-random weight in {-1,+1} from mix(h,d):
+    // sign bit = (sum_d w(h,d)*v_d) >= 0 — computed with aggregate() over
+    // the posexploded vector, kept declarative via higher-order functions.
+    val dim = 64
+    val bitCols = (0 until nBits).map { h =>
+      val terms = (0 until dim).map { d =>
+        val w = if (graft.corpus.SyntheticCorpus.mix2(h, d) > 0) 1.0 else -1.0
+        element_at(col("embedding"), d + 1) * lit(w)
+      }
+      when(terms.reduce(_ + _) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    val bucketed = e.withColumn("bucket", bitCols.reduce(_ + _))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= 0.7)
+  }
+
+  // ---- text analysis ----
+
+  /** Language ID: character-trigram overlap against tiny per-language
+    * profiles (n-gram heuristic; stopword-profile based). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.withColumn("pred_lang", LangId.predictCol(col("text")))
+      .select("doc_id", "lang", "pred_lang")
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios + mean token
+    * length. SQL-expressible; oracle-checked. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "for",
+      "with", "on")
+    val toks = splitTokens(documents(spark, dir))
+    toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct("term").as("n_distinct"),
+      round(avg(length(col("term"))), 4).as("mean_tok_len"),
+      round(sum(when(col("term").isin(stopList: _*), 1).otherwise(0))
+        .cast("double") / count(lit(1)), 4).as("stopword_ratio"))
+  }
+
+  /** Token counting: whitespace count + a BPE-ish subword estimate
+    * (ceil(chars/4) heuristic per word, summed). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val toks = splitTokens(documents(spark, dir))
+    toks.groupBy("doc_id").agg(
+      count(lit(1)).as("ws_tokens"),
+      sum(ceil(length(col("term")).cast("double") / 4)).cast("bigint")
+        .as("bpe_est"))
+  }
+
+  /** Document fingerprinting: winnowing fingerprint count + simhash via the
+    * reference token pipeline (rolling-hash fingerprint family). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.select(col("doc_id"),
+        nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("toks"))
+      .select(col("doc_id"),
+        nxs_simhash(col("toks")).as("simhash"),
+        size(column_winnow(col("toks"), 8, 5, 42L)).as("n_fingerprints"))
+  }
+
+  private def column_winnow(tokens: org.apache.spark.sql.Column, a: Int,
+      win: Int, seed: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.WinnowExpr(bridge.expression(tokens), a, win, seed))
+  }
+
+  // ---- events (windowed/sessionized aggregates) ----
+
+  /** Hourly tumbling-window aggregate by event type. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** Sessionization: 30-minute-gap sessions per user (windowed lag +
+    * running session counter), then per-user session stats. */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id")
+      .agg(max("session_idx").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+}
+
+/**
+ * Relational search-engine ops over the split-token stream — these mirror
+ * the reference's index/query math (postings, term stats, TF-IDF, BM25,
+ * boolean algebra) in a shape DuckDB can verify 1:1. The reference-pipeline
+ * (`nxs_tokenize`) variants live in graft.search; token semantics are the
+ * only difference.
+ */
+object RelationalOps {
+  import TrainingOps.documents
+
+  def splitPostings(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    splitPostings(spark, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("cnt").as("total"))
+
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    splitPostings(spark, dir)
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("dl"), count(lit(1)).as("n_distinct"))
+
+  val queryTerms: Seq[String] = Seq("spark", "hash", "join")
+
+  /** TF-IDF (ranking.c:90-91 formulas) for the fixed query term set, summed
+    * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val post = splitPostings(spark, dir).cache()
+    val n = documents(spark, dir).count()
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.where(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
+      .withColumn("score",
+        log(col("cnt") + 1) * (log(lit(n.toDouble) / col("df")) + 1))
+      .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
+  }
+
+  /** BM25 (ranking.c:99-176: k=1.2 b=0.75, integer adl division). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val post = splitPostings(spark, dir).cache()
+    val n = documents(spark, dir).count()
+    val tokenCount = post.agg(sum("cnt")).collect()(0).getLong(0)
+    val adl = (tokenCount / n).toDouble // integer division, ranking.c:163
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val dls = post.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    val tf = log(col("cnt") + 1)
+    post.where(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
+      .join(dls, "doc_id")
+      .withColumn("score",
+        (tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(adl)))) *
+          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
+  }
+
+  /** Boolean query `spark AND (hash OR join) AND NOT slow` as semi/anti
+    * joins — the reference's bitmap algebra (search.c:118-174) in
+    * relational form. */
+  def searchBool(spark: SparkSession, dir: String): DataFrame = {
+    val post = splitPostings(spark, dir).cache()
+    def docsWith(t: String) = post.where(col("term") === t).select("doc_id")
+    docsWith("spark")
+      .join(docsWith("hash").unionByName(docsWith("join")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .join(docsWith("slow"), Seq("doc_id"), "left_anti")
+  }
+
+  /** Reference-pipeline postings (nxs_tokenize) — rows-only check (ICU
+    * segmentation is not expressible in DuckDB SQL). */
+  def nxsPostings(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.nxs_tokenize(col("text"),
+          coalesce(col("lang"), lit("en")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+
+  def langDist(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+
+  def topkDocs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "n_chars")
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming surface. The reference is synchronous
+ * request/response — its only incremental notion is mmap re-sync between
+ * processes (/root/reference/src/index/terms.c:320-414, dtmap.c:440-544).
+ * The streaming ports below cover the natural streaming analogues:
+ *
+ *  - `dedupedPages`: S1's duplicate-id rejection
+ *    (/root/reference/src/core/nxs.c:498-511) as watermarked
+ *    dropDuplicates on url;
+ *  - `windowedEventCounts`: event-time tumbling windows + watermark for
+ *    late data;
+ *  - `runningUserCounts`: custom state via mapGroupsWithState.
+ */
+object StreamOps {
+
+  /** Streaming ingest of a pages directory with exactly-once-per-url
+    * semantics inside the watermark horizon. */
+  def dedupedPages(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withWatermark("warc_ts", "1 hour")
+      .dropDuplicates("url")
+
+  /** Event-time tumbling window counts with a 30-minute watermark. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Stateful running per-user totals (mapGroupsWithState). */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(user, n, tot)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}
