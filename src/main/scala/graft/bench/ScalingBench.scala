@@ -1,0 +1,97 @@
+package graft.bench
+
+import graft.corpus.SyntheticCorpus
+import graft.dedup.{DedupConfig, DedupPipeline}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Two-parallelism scaling evidence (BASELINE.md: "scaling efficiency >= 0.8
+ * between N and 4N executors"; sandbox protocol per the driver: the same
+ * job + input at local[8] and local[32], efficiency = (T_8 / T_32) / 4).
+ *
+ * Protocol: one corpus written once; per parallelism level a fresh
+ * SparkSession (shuffle.partitions = cores), one untimed warmup run on a
+ * small corpus (JIT/classloading), then `runs` timed runs of the full dedup
+ * pipeline; median reported. Writes BENCH/BASELINE.md.
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nClusters = args.headOption.map(_.toInt).getOrElse(12000)
+    val runs = 3
+    val corpusPath = s"/tmp/graft_scale_corpus/c$nClusters"
+
+    def newSession(cores: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    // Corpus (untimed, generated at full parallelism).
+    var spark = newSession(32)
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+      SyntheticCorpus.pages(spark, SyntheticCorpus.Config(nClusters = nClusters))
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    val nDocs = spark.read.parquet(corpusPath).count()
+    spark.stop()
+
+    def timedRuns(cores: Int): Seq[Double] = {
+      spark = newSession(cores)
+      // warmup: small corpus end-to-end (JIT + codegen caches)
+      val warm = SyntheticCorpus.pages(spark, SyntheticCorpus.Config(nClusters = 500))
+      DedupPipeline.clusters(warm, DedupConfig()).count()
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        DedupPipeline.clusters(spark.read.parquet(corpusPath), DedupConfig()).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      times
+    }
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val t8 = timedRuns(8)
+    val t32 = timedRuns(32)
+    val m8 = median(t8); val m32 = median(t32)
+    val eff = (m8 / m32) / 4.0
+    val dps8 = nDocs / m8; val dps32 = nDocs / m32
+
+    val md =
+      f"""# BENCH/BASELINE — measured throughput & scaling (this engine)
+         |
+         |Workload: full near-dup pipeline (`DedupPipeline.clusters`):
+         |nxs_tokenize (ICU + NFKC_Casefold + stopwords + Porter2) → 5-gram
+         |shingles → MinHash(k=128) → LSH(16×8) → Jaccard-verify(τ=0.85) +
+         |SimHash(hamming≤3) + winnowing substring pass → connected
+         |components → cluster resolve. Input: deterministic synthetic
+         |Common-Crawl-style corpus (seed=42), $nDocs%,d pages, read from
+         |parquet. Median of $runs runs, warm JVM, per-level fresh session,
+         |`spark.sql.shuffle.partitions` = cores.
+         |
+         |The reference (rmind/nxsearch) publishes no numbers (BASELINE.md);
+         |these are the engine's own baseline figures for future rounds.
+         |
+         || parallelism | median wall (s) | docs/sec | runs (s) |
+         ||---|---|---|---|
+         || local[8]  | ${m8}%.2f | ${dps8}%.0f | ${t8.map(t => f"$t%.2f").mkString(", ")} |
+         || local[32] | ${m32}%.2f | ${dps32}%.0f | ${t32.map(t => f"$t%.2f").mkString(", ")} |
+         |
+         |**Scaling efficiency (T_8 / T_32) / 4 = ${eff}%.3f** (target ≥ 0.8 per
+         |BASELINE.json north_rule; sandbox evidence protocol = same job +
+         |input at two parallelism levels, per driver instruction).
+         |""".stripMargin
+
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t8_sec":$m8,"t32_sec":$m32,"docs":$nDocs,"docs_per_sec_8":$dps8,"docs_per_sec_32":$dps32}""")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.corpus.SyntheticCorpus
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming page ingest dedups urls (S1 duplicate-id rejection port)") {
+    val dir = Files.createTempDirectory("graft_stream_pages").toString
+    val pages = SyntheticCorpus.pages(spark, SyntheticCorpus.Config(nClusters = 30))
+    // write twice -> duplicate urls across files
+    pages.write.mode("append").parquet(dir)
+    pages.write.mode("append").parquet(dir)
+    val distinctUrls = pages.select("url").distinct().count()
+
+    val q = StreamOps.dedupedPages(spark, dir, pages.schema)
+      .writeStream.format("memory").queryName("pages_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*) FROM pages_dedup").collect()(0).getLong(0)
+    assert(got == distinctUrls, s"$got != $distinctUrls")
+  }
+
+  test("windowed event counts with watermark match batch aggregation") {
+    val dir = Files.createTempDirectory("graft_stream_events").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(dir)
+
+    val q = StreamOps.windowedEventCounts(
+      spark.readStream.schema(events.schema).parquet(dir))
+      .writeStream.format("memory").queryName("ev_win")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val streamed = spark.sql("SELECT hour, event_type, n FROM ev_win")
+    // append mode emits only windows below the final watermark; every
+    // emitted window must match batch exactly
+    val mismatches = streamed.as("s")
+      .join(batch.as("b"), Seq("hour", "event_type"), "left")
+      .where($"s.n" =!= $"b.n").count()
+    assert(mismatches == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("stateful running user totals via mapGroupsWithState") {
+    val dir = Files.createTempDirectory("graft_stream_state").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+
+    val q = StreamOps.runningUserCounts(
+      spark.readStream.schema(events.schema).parquet(dir))
+      .writeStream.format("memory").queryName("user_tot")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val exp = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // last update per user == final total
+    val got = spark.sql(
+      "SELECT user_id, max(n) AS n FROM user_tot GROUP BY user_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp)
+  }
+}
