@@ -36,11 +36,22 @@ object ConnectedComponents {
     // Symmetric adjacency (both directions) — one relation reused each round.
     val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.unpersistCheckpoint(e)
 
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
 
+    // Convergence check: labels only ever decrease, so the exact decimal sum
+    // of comp over all nodes strictly decreases until fixpoint — comparing
+    // sums per round is one narrow aggregate over the (checkpointed) labels
+    // relation, much cheaper than the join-and-count-diffs alternative.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).collect()(0)
+        .getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -63,14 +74,16 @@ object ConnectedComponents {
         .join(parents, Seq("comp"), "left")
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old_comp"), "id")
-        .where(col("comp") =!= col("old_comp"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
+      // `next` is materialized (eager checkpoint): release the superseded
+      // iterate's blocks now rather than waiting for driver GC.
+      org.apache.spark.sql.graft.bridge.unpersistCheckpoint(labels)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
+    org.apache.spark.sql.graft.bridge.unpersistCheckpoint(adj)
     labels
   }
 }

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
  *    winnow fingerprints.
  *  - Buckets are formed by groupBy on (key, hash) — a map-side-combinable
  *    hash aggregation, the cheapest shuffle shape there is; AQE skew-join
- *    handling and the `graft.dedup.saltBuckets` helper cover residual skew.
+ *    handling and the `graft.dedup.Skew` helpers cover residual skew.
  *  - Verification joins are equi-joins on doc_id against the (narrow)
  *    signatures relation; Jaccard is computed with cardinalities only
  *    (|A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B|).
@@ -177,7 +177,11 @@ object DedupPipeline {
     sigs.cache()
     val e = edges(sigs, cfg)
     val comps = ConnectedComponents.run(e) // (id, comp)
-    val docs = sigs.select("url", "doc_id", "warc_ts")
+    // CC materialized the edge set, so the wide cached signatures relation
+    // (shingle/sig/fingerprint arrays) has served its purpose — keep only
+    // the narrow doc projection and release the cache.
+    val docs = sigs.select("url", "doc_id", "warc_ts").localCheckpoint(true)
+    sigs.unpersist()
     val labeled = docs
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))

@@ -25,13 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
  *    north_rule; their input is the reference token stream.
  */
 object NxsTokenizeExpr {
+  // Per-(filters, lang, stopwords) config cache — the config is loop-invariant
+  // per column but `lang` varies per row; interning it here keeps the per-row
+  // path allocation-free (the Spark analogue of the reference's reusable
+  // filter contexts, /root/reference/src/core/filters.c:125-178).
+  private val cfgCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), PipelineConfig]()
+
   /** Static entry used by both interpreted eval and codegen. */
   def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
       stopwords: Boolean): ArrayData = {
     val langStr = if (lang == null || lang.numBytes() == 0) "en" else lang.toString
-    val cfg = PipelineConfig(
-      filters = filtersCsv.split(',').toSeq.filter(_.nonEmpty),
-      lang = langStr, stopwordsEnabled = stopwords)
+    val cfg = cfgCache.computeIfAbsent((filtersCsv, langStr, stopwords),
+      key => PipelineConfig(
+        filters = key._1.split(',').toSeq.filter(_.nonEmpty),
+        lang = key._2, stopwordsEnabled = key._3))
     val toks = TextPipeline.tokens(text.toString, cfg)
     val out = new Array[Any](toks.length)
     var i = 0
@@ -92,7 +100,7 @@ object ShingleHashesExpr {
     * unigram term stream as a hash set. */
   def shingles(tokens: ArrayData, w: Int, seed: Long): ArrayData = {
     val n = tokens.numElements()
-    if (n < w) return new GenericArrayData(Array.empty[Long])
+    if (n < w) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -112,7 +120,7 @@ object ShingleHashesExpr {
     val it = set.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -152,7 +160,7 @@ object MinHashSigExpr {
       sig(j) = min
       j += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 }
 
@@ -256,7 +264,7 @@ object WinnowExpr {
     * duplication pass. Returns sorted distinct fingerprints. */
   def fingerprints(tokens: ArrayData, a: Int, win: Int, seed: Long): ArrayData = {
     val n = tokens.numElements()
-    if (n < a) return new GenericArrayData(Array.empty[Long])
+    if (n < a) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val nGrams = n - a + 1
     val gh = new Array[Long](nGrams)
     val th = new Array[Long](n)
@@ -290,7 +298,7 @@ object WinnowExpr {
     val it = set.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 

@@ -139,7 +139,8 @@ object TrainingOps {
     * → 16-bit bucket; candidates = same bucket; exact cosine re-rank inside
     * the bucket. The scale path: buckets shard the corpus so the join is
     * equi on bucket id instead of a cross join. */
-  def annLsh(spark: SparkSession, dir: String, nBits: Int = 12): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, nBits: Int = 8,
+      tau: Double = 0.3): DataFrame = {
     val e = embeddings(spark, dir)
     // hyperplane h, dim d pseudo-random weight in {-1,+1} from mix(h,d):
     // sign bit = (sum_d w(h,d)*v_d) >= 0 — computed with aggregate() over
@@ -158,7 +159,7 @@ object TrainingOps {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
-      .where(col("cos") >= 0.7)
+      .where(col("cos") >= tau)
   }
 
   // ---- text analysis ----

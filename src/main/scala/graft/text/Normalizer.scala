@@ -31,6 +31,44 @@ object Normalizer {
   /** Strip diacritics + Latinize (reference `utf8_subs_diacritics`). */
   def subsDiacritics(s: String): String = translit.get().transliterate(s)
 
-  /** The full "normalizer" filter: casefold then diacritic substitution. */
-  def normalize(s: String): String = subsDiacritics(nfkcCaseFold(s))
+  /** True iff every char is ASCII (< 0x80). */
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
+  /** True iff ASCII and already fully casefolded (no uppercase A–Z). */
+  private def isLowerAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80 || (c >= 'A' && c <= 'Z')) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The full "normalizer" filter: casefold then diacritic substitution.
+    *
+    * ASCII fast path: on pure-ASCII input NFKC_Casefold is exactly
+    * `toLowerCase` (ASCII has no compatibility decompositions and casefold =
+    * simple lowercase there) and the transliteration rule is the identity
+    * (no marks to remove, Latin-ASCII is a no-op on ASCII, NFKD/NFKC are
+    * identities). Web-scale corpora are overwhelmingly ASCII tokens, and the
+    * rule-based transliteration engine costs ~10-50 µs/token — this path is
+    * the single hottest branch of the whole pipeline. */
+  def normalize(s: String): String = {
+    if (isLowerAscii(s)) s
+    else if (isAscii(s)) {
+      val out = new Array[Char](s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(out)
+    } else subsDiacritics(nfkcCaseFold(s))
+  }
 }

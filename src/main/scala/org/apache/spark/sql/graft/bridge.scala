@@ -10,4 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager blocks behind a `localCheckpoint`ed
+    * DataFrame. Iterative algorithms (connected components) checkpoint per
+    * round; without explicit release the superseded iterates accumulate
+    * until they crowd out execution memory (ContextCleaner only frees them
+    * on driver GC, far too lazily for a tight loop). */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
 }
