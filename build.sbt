@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC: this batch pipeline is allocation-heavy (tokenization);
+  // measured 2.1x throughput and 0.84 (vs 0.57) 8->32-thread scaling over
+  // the default G1 (graft.tools.MicroBench `threads` mode).
+  "-XX:+UseParallelGC",
 )

@@ -70,7 +70,10 @@ object DedupPipeline {
       .withColumn("simhash", nxs_simhash(col("tokens"), cfg.seed))
       .withColumn("winnow_fps",
         column_winnow(col("tokens"), cfg.winnowA, cfg.winnowWindow, cfg.seed))
-      .drop("tokens", "html")
+      // Keep the signatures relation narrow: every downstream consumer reads
+      // it repeatedly (cache scans + shuffles), and text/html are dead weight
+      // once the signature columns exist.
+      .drop("tokens", "html", "text", "lang")
   }
 
   private def column_winnow(tokens: Column, a: Int, win: Int, seed: Long): Column = {
@@ -80,7 +83,9 @@ object DedupPipeline {
 
   /** Emit star edges (bucket-min doc_id ↔ member) for a bucketed relation.
     * Input must have columns (`key` expr aliased bucket_key, doc_id).
-    * Linear in bucket size; preserves intra-bucket connectivity. */
+    * Linear in bucket size; preserves intra-bucket connectivity. The same
+    * (src, dst) pair can emerge from several buckets — callers dedup once
+    * at the end (edges()), not per pass. */
   private def starEdges(bucketed: DataFrame): DataFrame = {
     val anchors = bucketed
       .groupBy("bucket_key")
@@ -89,20 +94,20 @@ object DedupPipeline {
     bucketed.join(anchors, "bucket_key")
       .where(col("doc_id") =!= col("src"))
       .select(col("src"), col("doc_id").as("dst"))
-      .distinct()
   }
 
   /** Stage 2a — MinHash/LSH band candidates. Band i's key is
-    * xxhash64(band_idx, slice(sig)); docs sharing any band collide. */
+    * xxhash64(band_idx, slice(sig)) — the band index is folded INTO the
+    * 64-bit hash, so the shuffle key is one long, not a struct (collisions
+    * across bands only add candidates, which Jaccard verification removes).
+    * Docs sharing any band collide. */
   def minhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val bandCols = (0 until cfg.bands).map { i =>
-      struct(lit(i).as("b"),
-        xxhash64(lit(i), slice(col("sig"), i * cfg.rowsPerBand + 1, cfg.rowsPerBand))
-          .as("h"))
+      xxhash64(lit(i), slice(col("sig"), i * cfg.rowsPerBand + 1, cfg.rowsPerBand))
     }
     val bucketed = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket_key"))
-    starEdges(bucketed)
+    starEdges(bucketed).distinct()
   }
 
   /** Stage 2b — verify candidates with exact Jaccard >= tau on shingle sets. */
@@ -125,10 +130,12 @@ object DedupPipeline {
   def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val nBlocks = cfg.simhashMaxHamming + 1
     val width = 64 / nBlocks
+    // block index folded into the hash → one-long shuffle key (collisions
+    // only add candidates; the bit_count verify below removes them)
     val blockCols = (0 until nBlocks).map { i =>
-      struct(lit(i).as("b"),
+      xxhash64(lit(i),
         shiftright(col("simhash"), i * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("h"))
+          .bitwiseAND(lit((1L << width) - 1)))
     }
     val bucketed = sigs
       .select(col("doc_id"), col("simhash"),

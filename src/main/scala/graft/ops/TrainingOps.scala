@@ -101,7 +101,7 @@ object TrainingOps {
         lit(null: Array[Byte]).as("html"), col("text"),
         coalesce(col("lang"), lit("en")).as("lang"))
     val sigs = DedupPipeline.signatures(pages, cfg)
-    DedupPipeline.winnowCandidates(sigs, cfg)
+    DedupPipeline.winnowCandidates(sigs, cfg).distinct()
   }
 
   // ---- similarity search ----

@@ -25,6 +25,43 @@ object MicroBench {
       println(f"[micro] $name%-22s ${us}%8.1f us/doc")
     }
 
+    // threaded scaling probe: same per-doc expression path on N threads
+    def threaded(nThreads: Int, reps: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val t0 = System.nanoTime()
+      val futs = (0 until nThreads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val en0 = UTF8String.fromString("en")
+            var r = 0
+            while (r < reps) {
+              texts.foreach { t =>
+                val u = UTF8String.fromString(t)
+                val toks = graft.functions.NxsTokenizeExpr.tokenize(
+                  u, en0, "normalizer,stopwords,stemmer", true)
+                val sh = ShingleHashesExpr.shingles(toks, 5, 42L)
+                MinHashSigExpr.signature(sh, 128, 42L)
+                SimHash64Expr.simhash(toks, 42L)
+                WinnowExpr.fingerprints(toks, 40, 21, 42L)
+              }
+              r += 1
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      val secs = (System.nanoTime() - t0) / 1e9
+      nThreads.toLong * reps * nDocs / secs // docs/sec aggregate
+    }
+    if (args.length > 1 && args(1) == "threads") {
+      for (n <- Seq(1, 8, 32)) {
+        val dps = threaded(n, 2)
+        println(f"[micro] threads=$n%-3d  ${dps}%10.0f docs/sec  (${dps / n}%8.0f per thread)")
+      }
+      return
+    }
+
     val pcfg = TextPipeline.default
     val u8 = texts.map(UTF8String.fromString)
     val en = UTF8String.fromString("en")
