@@ -87,11 +87,18 @@ object DedupPipeline {
     * (src, dst) pair can emerge from several buckets — callers dedup once
     * at the end (edges()), not per pass. */
   private def starEdges(bucketed: DataFrame): DataFrame = {
-    val anchors = bucketed
+    // The bucketed relation feeds both the anchor aggregation and the join
+    // back; without materialization each side recomputes the explode + key
+    // hashing from the signatures cache (the two exchanges differ, so
+    // ReuseExchange can't kick in). One eager checkpoint = one pass.
+    // The join against anchors is AQE-planned: broadcast when anchors are
+    // small, skew-split sort-merge when a hot bucket inflates a partition.
+    val b = bucketed.localCheckpoint(true)
+    val anchors = b
       .groupBy("bucket_key")
       .agg(min("doc_id").as("src"), count(lit(1)).as("sz"))
       .where(col("sz") > 1)
-    bucketed.join(anchors, "bucket_key")
+    b.join(anchors, "bucket_key")
       .where(col("doc_id") =!= col("src"))
       .select(col("src"), col("doc_id").as("dst"))
   }
@@ -138,16 +145,10 @@ object DedupPipeline {
           .bitwiseAND(lit((1L << width) - 1)))
     }
     val bucketed = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"),
         explode(array(blockCols: _*)).as("bucket_key"))
-    val anchors = bucketed
-      .groupBy("bucket_key")
-      .agg(min("doc_id").as("src"), count(lit(1)).as("sz"))
-      .where(col("sz") > 1)
     val sh = sigs.select(col("doc_id"), col("simhash"))
-    bucketed.join(anchors, "bucket_key")
-      .where(col("doc_id") =!= col("src"))
-      .select(col("src"), col("doc_id").as("dst"))
+    starEdges(bucketed)
       .distinct()
       .join(sh.select(col("doc_id").as("src"), col("simhash").as("h_a")), "src")
       .join(sh.select(col("doc_id").as("dst"), col("simhash").as("h_b")), "dst")
