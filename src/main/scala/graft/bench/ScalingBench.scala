@@ -163,10 +163,12 @@ object ScalingBench {
          |Raw 8→32-thread scaling on this box = **${ceiling}%.3f** — the memory
          |bandwidth + GC bound of one machine, independent of any engine. The
          |pipeline's Spark-level efficiency normalized to that ceiling is
-         |**${normEff}%.3f**: Spark adds essentially no scaling loss on top of
-         |the hardware bound. A real N→4N *executor* scale-up multiplies
-         |machines (memory systems included), where this single-box bound does
-         |not apply; the shuffle-light design (star edges, hash-only shuffles,
+         |**${normEff}%.3f** (values ≥ 1 mean the Spark job scales at least as
+         |well as the raw kernel bound; shuffle stages can scale superlinearly
+         |on this box because per-task hash/sort working sets shrink with more
+         |partitions). A real N→4N *executor* scale-up multiplies machines
+         |(memory systems included), where the single-box bound does not
+         |apply; the shuffle-light design (star edges, hash-only shuffles,
          |AQE + salting) is what carries the ≥ 0.8 target there.
          |""".stripMargin
 
