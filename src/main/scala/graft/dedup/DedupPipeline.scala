@@ -83,7 +83,9 @@ object DedupPipeline {
 
   /** Emit star edges (bucket-min doc_id ↔ member) for a bucketed relation.
     * Input must have columns (`key` expr aliased bucket_key, doc_id).
-    * Linear in bucket size; preserves intra-bucket connectivity. The same
+    * Linear in bucket size; preserves intra-bucket connectivity. Correct as
+    * the ONLY candidate shape when bucket membership is itself transitive
+    * evidence (winnowing: all members share the same fingerprint). The same
     * (src, dst) pair can emerge from several buckets — callers dedup once
     * at the end (edges()), not per pass. */
   private def starEdges(bucketed: DataFrame): DataFrame = {
@@ -103,6 +105,33 @@ object DedupPipeline {
       .select(col("src"), col("doc_id").as("dst"))
   }
 
+  /** Candidate pairs for passes with a downstream PAIRWISE verify (Jaccard,
+    * Hamming). Star edges alone would lose qualified pairs there: a bucket
+    * links (a, b) through the bucket-min, and if verify(min, a) fails the
+    * (a, b) link dies even when verify(a, b) would pass. So: buckets of
+    * size <= smallCap enumerate exact pairs (bounded O(smallCap²) fan-out,
+    * recall-lossless); bigger buckets fall back to star edges — a large
+    * bucket under an 8-row MinHash band (or 16-bit SimHash block) means
+    * mass near-identical content, where member↔min verification holds, and
+    * pair enumeration there would be the O(s²) skew bomb the design
+    * forbids. */
+  private def candidatePairs(bucketed: DataFrame, smallCap: Int = 16): DataFrame = {
+    val b = bucketed.localCheckpoint(true)
+    val stats = b.groupBy("bucket_key")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+    val smallKeys = stats.where(col("sz") <= smallCap).select("bucket_key")
+    val bs = b.join(smallKeys, "bucket_key")
+    val smallPairs = bs.as("x").join(bs.as("y"),
+        col("x.bucket_key") === col("y.bucket_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val bigEdges = b.join(stats.where(col("sz") > smallCap), "bucket_key")
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("src"), col("doc_id").as("dst"))
+    smallPairs.unionByName(bigEdges)
+  }
+
   /** Stage 2a — MinHash/LSH band candidates. Band i's key is
     * xxhash64(band_idx, slice(sig)) — the band index is folded INTO the
     * 64-bit hash, so the shuffle key is one long, not a struct (collisions
@@ -114,7 +143,7 @@ object DedupPipeline {
     }
     val bucketed = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket_key"))
-    starEdges(bucketed).distinct()
+    candidatePairs(bucketed).distinct()
   }
 
   /** Stage 2b — verify candidates with exact Jaccard >= tau on shingle sets. */
@@ -148,7 +177,7 @@ object DedupPipeline {
       .select(col("doc_id"),
         explode(array(blockCols: _*)).as("bucket_key"))
     val sh = sigs.select(col("doc_id"), col("simhash"))
-    starEdges(bucketed)
+    candidatePairs(bucketed)
       .distinct()
       .join(sh.select(col("doc_id").as("src"), col("simhash").as("h_a")), "src")
       .join(sh.select(col("doc_id").as("dst"), col("simhash").as("h_b")), "dst")
