@@ -101,8 +101,10 @@ object RecallCheck {
          |
          |**Dup-pair recall over qualified pairs = $qRecall%.4f** (target >= 0.99).
          |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/BASELINE.md"),
-      md.getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      md.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     println(s"""{"metric":"dup_pair_recall_qualified","value":$qRecall,"by_kind_all_planted":${
       byKind.map(r => s""""${r.getString(0)}":${r.getLong(4).toDouble / r.getLong(1)}""").mkString("{", ",", "}")}}""")
     spark.stop()

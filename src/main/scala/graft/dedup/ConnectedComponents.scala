@@ -5,21 +5,28 @@ import org.apache.spark.sql.functions._
 
 /**
  * Connected components on an edge DataFrame — iterative minimum-label
- * propagation, pure DataFrame algebra (no RDDs).
+ * propagation with pointer jumping, pure DataFrame algebra (no RDDs).
  *
  * Each iteration: every node adopts the min component id among itself and
- * its neighbors (one shuffle for the message join + one for the min-agg).
- * Iterations run until a fixpoint, with `localCheckpoint` per round to cut
- * the growing lineage (north_rule: checkpointed CC iterations).
+ * its neighbors, then jumps to its parent's label (comp ← comp(comp)),
+ * doubling the propagation horizon per round — O(log diameter) convergence.
+ * Convergence detection: labels only ever decrease, so the exact decimal sum
+ * of comp over all nodes strictly decreases until fixpoint. The sum is
+ * computed BY THE SAME JOB that materializes the iterate (lazy checkpoint +
+ * aggregate), so each iteration is exactly one Spark job with no separate
+ * driver barrier for the convergence check.
+ *
+ * Iterates materialize through `Materialize`: a reliable checkpoint when the
+ * context has a checkpoint dir configured (cluster durability), else
+ * localCheckpoint; superseded local iterates are released eagerly.
  *
  * Scale note: the candidate-generation stages emit *star* edges per bucket
  * (bucket-min ↔ member), so component diameter is bounded by a small
  * constant (a path min↔a, min↔b across buckets has length 2). Label
- * propagation therefore converges in ~O(log star-chain) ≈ 3–6 rounds even
- * at 10^12 docs — the pathological long-path case that motivates
- * large-star/small-star (Kiveris et al., "Connected Components in MapReduce
- * and Beyond") cannot arise from our edge generator. The convergence check
- * is a cheap count of changed labels with AQE-planned joins.
+ * propagation therefore converges in ~2–4 rounds even at 10^12 docs — the
+ * pathological long-path case that motivates large-star/small-star (Kiveris
+ * et al., "Connected Components in MapReduce and Beyond") cannot arise from
+ * our edge generator.
  */
 object ConnectedComponents {
 
@@ -27,31 +34,27 @@ object ConnectedComponents {
     * @return (id: long, comp: long) for every node appearing in edges;
     *         comp = min node id of the component. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    // Symmetric adjacency (both directions), deduped, materialized once —
+    // lazily, so the first iteration's job does it (no separate barrier).
+    val adj = Materialize(
+      edges.where(col("src") =!= col("dst"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct(),
+      eager = false)
 
-    // Symmetric adjacency (both directions) — one relation reused each round.
-    val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.bridge.unpersistCheckpoint(e)
+    var labels = Materialize(
+      adj.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
+      eager = false)
 
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-
-    // Convergence check: labels only ever decrease, so the exact decimal sum
-    // of comp over all nodes strictly decreases until fixpoint — comparing
-    // sums per round is one narrow aggregate over the (checkpointed) labels
-    // relation, much cheaper than the join-and-count-diffs alternative.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))).collect()(0)
         .getDecimal(0)
 
-    var prevSum = labelSum(labels)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -65,25 +68,26 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // (b) pointer jumping: comp <- comp(comp). Labels only decrease, so
-      // comp(comp) <= comp; this doubles the propagation horizon per round
-      // (hash-to-min style), giving O(log diameter) convergence instead of
-      // O(diameter).
+      // comp(comp) <= comp (hash-to-min style horizon doubling).
       val parents = stepped
         .select(col("id").as("comp"), col("comp").as("pcomp"))
-      val next = stepped
-        .join(parents, Seq("comp"), "left")
-        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+      val next = Materialize(
+        stepped
+          .join(parents, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp")),
+        eager = false)
+      // One job: materializes the lazy checkpoint AND computes the
+      // convergence sum.
       val nextSum = labelSum(next)
-      // `next` is materialized (eager checkpoint): release the superseded
-      // iterate's blocks now rather than waiting for driver GC.
-      org.apache.spark.sql.graft.bridge.unpersistCheckpoint(labels)
+      // `next` is now materialized: release the superseded iterate's blocks
+      // rather than waiting for driver GC (no-op for reliable checkpoints).
+      Materialize.release(labels)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    org.apache.spark.sql.graft.bridge.unpersistCheckpoint(adj)
+    Materialize.release(adj)
     labels
   }
 }

@@ -7,28 +7,34 @@ import org.apache.spark.sql.functions._
 /**
  * Near-duplicate detection pipeline (BASELINE.json → north_rule):
  *
- *   pages ──► signatures ──► MinHash/LSH candidates ──► Jaccard verify ──┐
- *        │                                                               │
- *        ├─► SimHash Hamming-ball candidates ────────────────────────────┤──► edges
- *        │                                                               │
- *        └─► winnowing exact-substring fingerprint matches ──────────────┘
- *                                                              edges ──► connected
- *                                                              components ──► clusters
+ *   pages ──► signatures ──► ONE bucketed relation (LSH bands ∪ SimHash
+ *   blocks ∪ winnow fingerprints, tagged by pass) ──► candidate pairs
+ *   (exact pairs in small buckets, star edges in hot ones) ──► one fused
+ *   verify join (Jaccard for the MinHash pass, Hamming for the SimHash
+ *   pass, fingerprint equality is self-evident for winnowing) ──► edges
+ *   ──► connected components ──► clusters
  *
  * Everything is declarative DataFrame algebra (hash-agg + equi-join only),
  * so Catalyst/AQE own the physical plan. Scale design notes:
  *
- *  - Candidate generation NEVER enumerates O(s²) pairs inside a bucket:
- *    each (band, hash) bucket emits star edges to the bucket's min doc_id
- *    (connectivity-preserving, linear in bucket size). Hot boilerplate
- *    buckets therefore cost O(s), not O(s²). Same for SimHash blocks and
- *    winnow fingerprints.
- *  - Buckets are formed by groupBy on (key, hash) — a map-side-combinable
- *    hash aggregation, the cheapest shuffle shape there is; AQE skew-join
- *    handling and the `graft.dedup.Skew` helpers cover residual skew.
- *  - Verification joins are equi-joins on doc_id against the (narrow)
- *    signatures relation; Jaccard is computed with cardinalities only
+ *  - The three candidate families share ONE explode + groupBy + join
+ *    pipeline keyed by (pass, bucket_key): one shuffle and one
+ *    materialization where round 1 had three serial checkpointed passes —
+ *    fewer driver barriers, and the bucket stage is big enough to keep a
+ *    cluster busy instead of three small stages that each underfill it.
+ *  - Candidate generation NEVER enumerates O(s²) pairs inside a hot bucket:
+ *    buckets up to `smallCap` members enumerate exact pairs (recall-lossless
+ *    under pairwise verification); bigger buckets emit star edges to the
+ *    bucket-min doc_id (connectivity-preserving, linear in bucket size). A
+ *    large bucket under an 8-row MinHash band means mass near-identical
+ *    content where member↔min verification holds. `bucketStats` makes the
+ *    residual over-cap population observable.
+ *  - Verification is equi-joins on doc_id against the (narrow) signatures
+ *    relation; Jaccard is computed with cardinalities only
  *    (|A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B|).
+ *  - Intermediates materialize through `Materialize`: a reliable checkpoint
+ *    when the context has a checkpoint dir configured (cluster durability —
+ *    a lost executor recomputes from files), localCheckpoint otherwise.
  *
  * Tokenizer semantics are the reference pipeline (tokenize + filters,
  * /root/reference/src/core/tokenizer.c:234-302, filters.c:199-219) via
@@ -45,35 +51,66 @@ final case class DedupConfig(
     winnowA: Int = 40,         // fingerprint a-gram length (tokens)
     winnowWindow: Int = 21,    // guarantee: shared run >= 60 tokens detected
     seed: Long = 42L,
+    smallCap: Int = 16,        // exact-pair enumeration cap per bucket
     runMinhash: Boolean = true,
     runSimhash: Boolean = true,
     runWinnow: Boolean = true) {
   require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal k")
+  require(smallCap >= 2, "smallCap must allow at least one pair")
+}
+
+/** Materialization point for iterative/reused relations. Durable when the
+  * SparkContext has a reliable checkpoint dir configured (cluster
+  * deployments set one; a lost executor then recomputes from checkpoint
+  * files instead of dying on truncated lineage), localCheckpoint otherwise —
+  * the right call at local[*] where executor loss means JVM loss anyway.
+  * `eager = false` defers materialization to the first action so callers can
+  * fuse it with an aggregate they need anyway (one job instead of two). */
+private[graft] object Materialize {
+  def apply(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  /** Release a *local* checkpoint's blocks once nothing will read it again
+    * (see bridge.unpersistCheckpoint — irreversible). Reliable checkpoints
+    * are files; they need no block release. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.bridge.unpersistCheckpoint(df)
 }
 
 object DedupPipeline {
 
+  /** Candidate-family tags in the unified bucketed relation. */
+  private val PassMinhash = 0
+  private val PassSimhash = 1
+  private val PassWinnow = 2
+
   /** Stage 1 — per-document signatures. One narrow projection stage; all
-    * heavy lifting happens inside codegen'd expressions. `doc_id` is
-    * xxhash64(url); the reference's non-zero-id invariant
+    * heavy lifting happens inside codegen'd expressions. Only the columns
+    * the enabled passes need are computed. `doc_id` is xxhash64(url); the
+    * reference's non-zero-id invariant
     * (/root/reference/src/core/nxs.c:498-501) maps to remapping the
     * (probability 2^-64) hash value 0. */
   def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = nxs_tokenize(col("text"), coalesce(col("lang"), lit("en")))
-    pages
+    var df = pages
       .where(col("text").isNotNull)
       .withColumn("doc_id",
         when(xxhash64(col("url")) === 0L, lit(1L)).otherwise(xxhash64(col("url"))))
       .withColumn("tokens", tokens)
+    if (cfg.runMinhash) df = df
       .withColumn("shingles", nxs_shingles(col("tokens"), cfg.shingleW, cfg.seed))
       .withColumn("sig", nxs_minhash(col("shingles"), cfg.minhashK, cfg.seed))
+    if (cfg.runSimhash) df = df
       .withColumn("simhash", nxs_simhash(col("tokens"), cfg.seed))
+    if (cfg.runWinnow) df = df
       .withColumn("winnow_fps",
         column_winnow(col("tokens"), cfg.winnowA, cfg.winnowWindow, cfg.seed))
-      // Keep the signatures relation narrow: every downstream consumer reads
-      // it repeatedly (cache scans + shuffles), and text/html are dead weight
-      // once the signature columns exist.
-      .drop("tokens", "html", "text", "lang")
+    // Keep the signatures relation narrow: every downstream consumer reads
+    // it repeatedly (cache scans + shuffles), and text/html are dead weight
+    // once the signature columns exist.
+    df.drop("tokens", "html", "text", "lang")
   }
 
   private def column_winnow(tokens: Column, a: Int, win: Int, seed: Long): Column = {
@@ -81,72 +118,151 @@ object DedupPipeline {
     bridge.column(WinnowExpr(bridge.expression(tokens), a, win, seed))
   }
 
-  /** Emit star edges (bucket-min doc_id ↔ member) for a bucketed relation.
-    * Input must have columns (`key` expr aliased bucket_key, doc_id).
-    * Linear in bucket size; preserves intra-bucket connectivity. Correct as
-    * the ONLY candidate shape when bucket membership is itself transitive
-    * evidence (winnowing: all members share the same fingerprint). The same
-    * (src, dst) pair can emerge from several buckets — callers dedup once
-    * at the end (edges()), not per pass. */
-  private def starEdges(bucketed: DataFrame): DataFrame = {
-    // The bucketed relation feeds both the anchor aggregation and the join
-    // back; without materialization each side recomputes the explode + key
-    // hashing from the signatures cache (the two exchanges differ, so
-    // ReuseExchange can't kick in). One eager checkpoint = one pass.
-    // The join against anchors is AQE-planned: broadcast when anchors are
-    // small, skew-split sort-merge when a hot bucket inflates a partition.
-    val b = bucketed.localCheckpoint(true)
-    val anchors = b
-      .groupBy("bucket_key")
-      .agg(min("doc_id").as("src"), count(lit(1)).as("sz"))
-      .where(col("sz") > 1)
-    b.join(anchors, "bucket_key")
-      .where(col("doc_id") =!= col("src"))
-      .select(col("src"), col("doc_id").as("dst"))
-  }
-
-  /** Candidate pairs for passes with a downstream PAIRWISE verify (Jaccard,
-    * Hamming). Star edges alone would lose qualified pairs there: a bucket
-    * links (a, b) through the bucket-min, and if verify(min, a) fails the
-    * (a, b) link dies even when verify(a, b) would pass. So: buckets of
-    * size <= smallCap enumerate exact pairs (bounded O(smallCap²) fan-out,
-    * recall-lossless); bigger buckets fall back to star edges — a large
-    * bucket under an 8-row MinHash band (or 16-bit SimHash block) means
-    * mass near-identical content, where member↔min verification holds, and
-    * pair enumeration there would be the O(s²) skew bomb the design
-    * forbids. */
-  private def candidatePairs(bucketed: DataFrame, smallCap: Int = 16): DataFrame = {
-    val b = bucketed.localCheckpoint(true)
-    val stats = b.groupBy("bucket_key")
-      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
-      .where(col("sz") > 1)
-    val smallKeys = stats.where(col("sz") <= smallCap).select("bucket_key")
-    val bs = b.join(smallKeys, "bucket_key")
-    val smallPairs = bs.as("x").join(bs.as("y"),
-        col("x.bucket_key") === col("y.bucket_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    val bigEdges = b.join(stats.where(col("sz") > smallCap), "bucket_key")
-      .where(col("doc_id") =!= col("mn"))
-      .select(col("mn").as("src"), col("doc_id").as("dst"))
-    smallPairs.unionByName(bigEdges)
-  }
-
-  /** Stage 2a — MinHash/LSH band candidates. Band i's key is
-    * xxhash64(band_idx, slice(sig)) — the band index is folded INTO the
-    * 64-bit hash, so the shuffle key is one long, not a struct (collisions
-    * across bands only add candidates, which Jaccard verification removes).
-    * Docs sharing any band collide. */
-  def minhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bandCols = (0 until cfg.bands).map { i =>
+  /** MinHash band keys: band i's key is xxhash64(band_idx, slice(sig)) — the
+    * band index is folded INTO the 64-bit hash, so the shuffle key is one
+    * long, not a struct (collisions across bands only add candidates, which
+    * verification removes). Docs sharing any band collide. */
+  private def bandKeys(cfg: DedupConfig): Seq[Column] =
+    (0 until cfg.bands).map { i =>
       xxhash64(lit(i), slice(col("sig"), i * cfg.rowsPerBand + 1, cfg.rowsPerBand))
     }
-    val bucketed = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket_key"))
-    candidatePairs(bucketed).distinct()
+
+  /** SimHash pigeonhole block keys: split the 64-bit fingerprint into
+    * (maxHamming+1) blocks; any pair within Hamming distance d shares at
+    * least one exact block. Block index folded into the hash → one-long
+    * shuffle key. */
+  private def blockKeys(cfg: DedupConfig): Seq[Column] = {
+    val nBlocks = cfg.simhashMaxHamming + 1
+    val width = 64 / nBlocks
+    (0 until nBlocks).map { i =>
+      xxhash64(lit(i),
+        shiftright(col("simhash"), i * width)
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
   }
 
-  /** Stage 2b — verify candidates with exact Jaccard >= tau on shingle sets. */
+  /** The unified bucketed relation: (doc_id, pass, bucket_key) — one explode
+    * over the per-row concatenation of all enabled candidate families. */
+  def bucketed(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    def tagged(pass: Int, keys: Column): Column =
+      transform(keys, k => struct(lit(pass).as("pass"), k.as("bucket_key")))
+    val families = Seq(
+      (cfg.runMinhash, () => tagged(PassMinhash, array(bandKeys(cfg): _*))),
+      (cfg.runSimhash, () => tagged(PassSimhash, array(blockKeys(cfg): _*))),
+      (cfg.runWinnow, () => tagged(PassWinnow, col("winnow_fps")))
+    ).collect { case (true, f) => f() }
+    require(families.nonEmpty, "at least one pass must be enabled")
+    val entries = if (families.size == 1) families.head else concat(families: _*)
+    sigs.select(col("doc_id"), explode(entries).as("e"))
+      .select(col("doc_id"), col("e.pass").as("pass"), col("e.bucket_key").as("bucket_key"))
+  }
+
+  /** Candidate edges (pass, src, dst), src < dst, for all enabled passes.
+    *
+    * Passes with a downstream PAIRWISE verify (Jaccard, Hamming) enumerate
+    * exact pairs in buckets of size <= smallCap — star edges alone would
+    * lose qualified pairs there: a bucket links (a, b) through the
+    * bucket-min, and if verify(min, a) fails the (a, b) link dies even when
+    * verify(a, b) would pass. Buckets over the cap fall back to star edges —
+    * a large bucket under an 8-row MinHash band (or 16-bit SimHash block)
+    * means mass near-identical content, where member↔min verification
+    * holds, and pair enumeration there would be the O(s²) skew bomb the
+    * design forbids. Winnow buckets are always pure star: a shared
+    * fingerprint is transitive evidence, no pairwise verify follows. */
+  def candidateEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    pairsFromBuckets(bucketed(sigs, cfg), cfg.smallCap, alwaysStarPass = PassWinnow)
+
+  /** Exact pairs in small buckets, star edges in hot ones, over any
+    * (doc_id, pass, bucket_key) relation; buckets of `alwaysStarPass` (-1
+    * for none) are pure star regardless of size. Shared by the dedup passes
+    * and the ANN bucket join. */
+  private[graft] def pairsFromBuckets(bucketedRel: DataFrame, smallCap: Int,
+      alwaysStarPass: Int): DataFrame = {
+    // The bucketed relation feeds the stats aggregation and two joins back;
+    // without materialization each consumer recomputes the explode + key
+    // hashing from the signatures cache (the aggregation exchange carries
+    // partial-agg rows, so ReuseExchange can't unify them). One
+    // materialization = one pass. Joins against stats are AQE-planned:
+    // broadcast when small, skew-split sort-merge when a hot bucket
+    // inflates a partition.
+    val b = Materialize(bucketedRel)
+    val stats = b.groupBy("pass", "bucket_key")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+    val pairKeys = Seq("pass", "bucket_key")
+    val smallKeys = stats
+      .where(col("sz") <= smallCap && col("pass") =!= alwaysStarPass)
+      .select("pass", "bucket_key")
+    val bs = b.join(smallKeys, pairKeys)
+    val smallPairs = bs.as("x")
+      .join(bs.as("y"),
+        col("x.pass") === col("y.pass") &&
+          col("x.bucket_key") === col("y.bucket_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.pass").as("pass"),
+        col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val starEdges = b
+      .join(stats.where(col("sz") > smallCap || col("pass") === alwaysStarPass),
+        pairKeys)
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("pass"), col("mn").as("src"), col("doc_id").as("dst"))
+    // The same (pass, src, dst) can emerge from several buckets — dedup once
+    // before the (wide-array) verify join.
+    smallPairs.unionByName(starEdges).distinct()
+  }
+
+  /** Per-pass bucket-population diagnostics: buckets, members, over-cap
+    * buckets (the ones that fell back to star edges), max bucket size.
+    * Surface this in metrics tables so residual star-fallback recall loss
+    * is observable rather than silent. */
+  def bucketStats(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    bucketed(sigs, cfg)
+      .groupBy("pass", "bucket_key").agg(count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+      .groupBy("pass")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("sz").as("members"),
+        sum(when(col("sz") > cfg.smallCap, 1).otherwise(0)).as("over_cap"),
+        max("sz").as("max_sz"))
+
+  /** One fused verify join for all passes: pull each endpoint's signature
+    * columns once, then apply the pass-specific predicate — Jaccard >= tau
+    * for MinHash candidates, bit_count(xor) <= d for SimHash candidates;
+    * winnow pairs are accepted as-is (64-bit fingerprint equality IS the
+    * evidence, collision odds negligible). Returns distinct (src, dst). */
+  def edges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val cand = candidateEdges(sigs, cfg)
+    val sigCols = col("doc_id") +:
+      (if (cfg.runMinhash) Seq(col("shingles")) else Nil) ++:
+      (if (cfg.runSimhash) Seq(col("simhash")) else Nil)
+    val s = sigs.select(sigCols: _*)
+    def endpoint(side: String) = s.toDF(s.columns.map(c => s"${c}_$side"): _*)
+      .withColumnRenamed(s"doc_id_$side", side)
+    var j = cand.join(endpoint("src"), "src").join(endpoint("dst"), "dst")
+    val accepts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    if (cfg.runMinhash) {
+      val inter = size(array_intersect(col("shingles_src"), col("shingles_dst")))
+        .cast("double")
+      val uni = size(col("shingles_src")) + size(col("shingles_dst")) - inter
+      j = j.withColumn("jaccard",
+        when(uni > 0, inter / uni).otherwise(lit(0.0)))
+      accepts += (col("pass") === PassMinhash && col("jaccard") >= cfg.tau)
+    }
+    if (cfg.runSimhash) accepts +=
+      (col("pass") === PassSimhash &&
+        bit_count(col("simhash_src").bitwiseXOR(col("simhash_dst"))) <= cfg.simhashMaxHamming)
+    if (cfg.runWinnow) accepts += (col("pass") === PassWinnow)
+    j.where(accepts.reduce(_ || _))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Single-pass entry points kept for the per-family ops/specs. */
+  def minhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    candidateEdges(sigs, cfg.copy(runSimhash = false, runWinnow = false))
+      .select("src", "dst")
+
+  /** Verify candidate pairs with exact Jaccard >= tau on shingle sets. */
   def verifyJaccard(edges: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val s = sigs.select(col("doc_id"), col("shingles"))
     edges
@@ -160,51 +276,16 @@ object DedupPipeline {
       .select("src", "dst", "jaccard")
   }
 
-  /** Stage 3 — SimHash Hamming-ball candidates: pigeonhole the 64-bit
-    * fingerprint into (maxHamming+1) blocks; any pair within distance d
-    * shares >= 1 exact block. Verified with bit_count(a^b) <= d. */
-  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val nBlocks = cfg.simhashMaxHamming + 1
-    val width = 64 / nBlocks
-    // block index folded into the hash → one-long shuffle key (collisions
-    // only add candidates; the bit_count verify below removes them)
-    val blockCols = (0 until nBlocks).map { i =>
-      xxhash64(lit(i),
-        shiftright(col("simhash"), i * width)
-          .bitwiseAND(lit((1L << width) - 1)))
-    }
-    val bucketed = sigs
-      .select(col("doc_id"),
-        explode(array(blockCols: _*)).as("bucket_key"))
-    val sh = sigs.select(col("doc_id"), col("simhash"))
-    candidatePairs(bucketed)
-      .distinct()
-      .join(sh.select(col("doc_id").as("src"), col("simhash").as("h_a")), "src")
-      .join(sh.select(col("doc_id").as("dst"), col("simhash").as("h_b")), "dst")
-      .where(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= cfg.simhashMaxHamming)
+  /** SimHash Hamming-ball pairs (candidates + verify), as (src, dst). */
+  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    edges(sigs, cfg.copy(runMinhash = false, runWinnow = false))
+
+  /** Exact-substring pass: shared winnowing fingerprint ⇒ the two documents
+    * share a token run >= winnowA (guaranteed detection for runs >=
+    * winnowA + winnowWindow - 1). Star edges per fingerprint. */
+  def winnowCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    candidateEdges(sigs, cfg.copy(runMinhash = false, runSimhash = false))
       .select("src", "dst")
-  }
-
-  /** Stage 4 — exact-substring pass: shared winnowing fingerprint ⇒ the two
-    * documents share a token run >= winnowA (guaranteed detection for runs
-    * >= winnowA + winnowWindow - 1). Fingerprint equality IS the evidence —
-    * no re-verification join needed (64-bit collision odds negligible). */
-  def winnowCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bucketed = sigs
-      .select(col("doc_id"), explode(col("winnow_fps")).as("bucket_key"))
-    starEdges(bucketed)
-  }
-
-  /** Full edge set for clustering. */
-  def edges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    var e: DataFrame = null
-    def add(df: DataFrame): Unit = { e = if (e == null) df else e.unionByName(df) }
-    if (cfg.runMinhash)
-      add(verifyJaccard(minhashCandidates(sigs, cfg), sigs, cfg).select("src", "dst"))
-    if (cfg.runSimhash) add(simhashCandidates(sigs, cfg))
-    if (cfg.runWinnow) add(winnowCandidates(sigs, cfg))
-    e.distinct()
-  }
 
   /** End-to-end: pages → clusters(url, doc_id, cluster_id, is_champion).
     * cluster_id = min doc_id in the component; champion = earliest
@@ -217,7 +298,7 @@ object DedupPipeline {
     // CC materialized the edge set, so the wide cached signatures relation
     // (shingle/sig/fingerprint arrays) has served its purpose — keep only
     // the narrow doc projection and release the cache.
-    val docs = sigs.select("url", "doc_id", "warc_ts").localCheckpoint(true)
+    val docs = Materialize(sigs.select("url", "doc_id", "warc_ts"))
     sigs.unpersist()
     val labeled = docs
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

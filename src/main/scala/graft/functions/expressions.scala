@@ -29,6 +29,10 @@ object NxsTokenizeExpr {
   // per column but `lang` varies per row; interning it here keeps the per-row
   // path allocation-free (the Spark analogue of the reference's reusable
   // filter contexts, /root/reference/src/core/filters.c:125-178).
+  // `lang` comes from untrusted corpus data, so the cache is size-capped:
+  // past MAX_CACHED distinct keys (a dirty column with garbage cardinality),
+  // new configs are built per call instead of cached — slower, never OOM.
+  private val MAX_CACHED = 256
   private val cfgCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), PipelineConfig]()
 
@@ -36,10 +40,16 @@ object NxsTokenizeExpr {
   def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
       stopwords: Boolean): ArrayData = {
     val langStr = if (lang == null || lang.numBytes() == 0) "en" else lang.toString
-    val cfg = cfgCache.computeIfAbsent((filtersCsv, langStr, stopwords),
-      key => PipelineConfig(
-        filters = key._1.split(',').toSeq.filter(_.nonEmpty),
-        lang = key._2, stopwordsEnabled = key._3))
+    def mkCfg(key: (String, String, Boolean)) = PipelineConfig(
+      filters = key._1.split(',').toSeq.filter(_.nonEmpty),
+      lang = key._2, stopwordsEnabled = key._3)
+    val key = (filtersCsv, langStr, stopwords)
+    val cfg = {
+      val hit = cfgCache.get(key)
+      if (hit != null) hit
+      else if (cfgCache.size < MAX_CACHED) cfgCache.computeIfAbsent(key, mkCfg)
+      else mkCfg(key)
+    }
     val toks = TextPipeline.tokens(text.toString, cfg)
     val out = new Array[Any](toks.length)
     var i = 0
@@ -252,6 +262,63 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object SignLshExpr {
+  /** Random-hyperplane (sign) LSH bucket keys over an embedding: `nTables`
+    * independent tables, each hashing the vector to an `nBits`-bit sketch
+    * (bit h = sign of Σ_d w(t,h,d)·v_d with pseudo-random ±1 weights from a
+    * seeded splitmix64 mix — Charikar 2002 sign-LSH). Each table's sketch is
+    * folded with the table index into one 64-bit key so the shuffle key is a
+    * single long and keys never collide across tables. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def buckets(vec: ArrayData, nBits: Int, nTables: Int, seed: Long): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sketch = 0L
+      var h = 0
+      while (h < nBits) {
+        val planeSeed = mix(seed ^ (t.toLong << 32) ^ h.toLong)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val w = if (mix(planeSeed ^ d.toLong) > 0) 1.0 else -1.0
+          dot += w * vec.getFloat(d)
+          d += 1
+        }
+        if (dot >= 0) sketch |= (1L << h)
+        h += 1
+      }
+      out(t) = XXH64.hashLong(sketch, seed + t)
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `sign_lsh(embedding)` → array<bigint> of nTables bucket keys. */
+case class SignLshExpr(child: Expression, nBits: Int, nTables: Int, seed: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh"
+
+  override def nullSafeEval(vec: Any): Any =
+    SignLshExpr.buckets(vec.asInstanceOf[ArrayData], nBits, nTables, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshExpr.buckets($c, $nBits, $nTables, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object WinnowExpr {

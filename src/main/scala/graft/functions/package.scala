@@ -36,6 +36,14 @@ package object functions {
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 
+  def sign_lsh(vec: Column, nBits: Int = 16, nTables: Int = 8,
+      seed: Long = 42L): Column =
+    column(SignLshExpr(expression(vec), nBits, nTables, seed))
+
+  def nxs_winnow(tokens: Column, a: Int = 40, win: Int = 21,
+      seed: Long = 42L): Column =
+    column(WinnowExpr(expression(tokens), a, win, seed))
+
   /** Register SQL-callable forms (static default configs). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

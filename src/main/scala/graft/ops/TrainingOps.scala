@@ -36,12 +36,15 @@ object TrainingOps {
 
   // ---- dedup family ----
 
-  /** Exact dedup: hash-groupBy on full text. At 100 TB this groups on
-    * xxhash64(text) first (64-bit prehash) so the shuffle carries hashes,
-    * not bodies; here text directly for oracle parity. */
+  /** Exact dedup by content digest: groups on (xxhash64, sha256) of the
+    * text, so the shuffle carries two fixed-width digests instead of full
+    * document bodies — the difference between shuffling ~40 bytes/doc and
+    * ~40 KB/doc at 100 TB. Equality of the 64+256-bit digest pair is
+    * cryptographically equivalent to text equality (the DuckDB oracle
+    * groups by the text itself). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .groupBy("text")
+      .groupBy(xxhash64(col("text")).as("h64"), sha2(col("text"), 256).as("digest"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
@@ -101,7 +104,7 @@ object TrainingOps {
         lit(null: Array[Byte]).as("html"), col("text"),
         coalesce(col("lang"), lit("en")).as("lang"))
     val sigs = DedupPipeline.signatures(pages, cfg)
-    DedupPipeline.winnowCandidates(sigs, cfg).distinct()
+    DedupPipeline.winnowCandidates(sigs, cfg)
   }
 
   // ---- similarity search ----
@@ -135,31 +138,41 @@ object TrainingOps {
       .select("probe_id", "vec_id", "cos", "rank")
   }
 
-  /** LSH-bucketed ANN (random-hyperplane / sign-LSH): 16 seeded hyperplanes
-    * → 16-bit bucket; candidates = same bucket; exact cosine re-rank inside
-    * the bucket. The scale path: buckets shard the corpus so the join is
-    * equi on bucket id instead of a cross join. */
-  def annLsh(spark: SparkSession, dir: String, nBits: Int = 8,
-      tau: Double = 0.3): DataFrame = {
+  /** The exploded (vec_id, bucket_key) relation behind annLsh — also dumped
+    * by Verify so the DuckDB oracle can re-derive the candidate pairs
+    * independently. */
+  def annBuckets(spark: SparkSession, dir: String, nBits: Int = 16,
+      nTables: Int = 8, seed: Long = 42L): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"),
+        explode(sign_lsh(col("embedding"), nBits, nTables, seed)).as("bucket_key"))
+
+  /** LSH-bucketed high-similarity pair search (random-hyperplane sign-LSH,
+    * Charikar 2002): `nTables` independent 16-bit sketch tables,
+    * OR-amplified — candidates = pairs sharing any table bucket — then
+    * exact-cosine verification >= tau. Scale shape: 2^16 buckets per table
+    * shard the corpus so the join is equi on a one-long bucket key, and
+    * buckets over `smallCap` members fall back to star edges (reusing the
+    * dedup candidate generator) instead of O(s²) enumeration — the same
+    * skew discipline as the MinHash pass. Recall follows the sign-LSH
+    * S-curve: strong for near-duplicate vectors (cos >= ~0.95 at these
+    * defaults), a triage pass — not a general top-k — below that. */
+  def annLsh(spark: SparkSession, dir: String, nBits: Int = 16,
+      nTables: Int = 8, tau: Double = 0.7, smallCap: Int = 16,
+      seed: Long = 42L): DataFrame = {
     val e = embeddings(spark, dir)
-    // hyperplane h, dim d pseudo-random weight in {-1,+1} from mix(h,d):
-    // sign bit = (sum_d w(h,d)*v_d) >= 0 — computed with aggregate() over
-    // the posexploded vector, kept declarative via higher-order functions.
-    val dim = 64
-    val bitCols = (0 until nBits).map { h =>
-      val terms = (0 until dim).map { d =>
-        val w = if (graft.corpus.SyntheticCorpus.mix2(h, d) > 0) 1.0 else -1.0
-        element_at(col("embedding"), d + 1) * lit(w)
-      }
-      when(terms.reduce(_ + _) >= 0, lit(1L << h)).otherwise(lit(0L))
-    }
-    val bucketed = e.withColumn("bucket", bitCols.reduce(_ + _))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
-      .where(col("cos") >= tau)
+    val bucketed = annBuckets(spark, dir, nBits, nTables, seed)
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumn("pass", lit(0))
+    val pairs = DedupPipeline.pairsFromBuckets(bucketed, smallCap,
+      alwaysStarPass = -1)
+    pairs
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("v_a")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("v_b")), "dst")
+      .withColumn("cos_raw", vec_cosine(col("v_a"), col("v_b")))
+      .where(col("cos_raw") >= tau)
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        round(col("cos_raw"), 4).as("cos"))
   }
 
   // ---- text analysis ----
@@ -204,13 +217,7 @@ object TrainingOps {
         nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("toks"))
       .select(col("doc_id"),
         nxs_simhash(col("toks")).as("simhash"),
-        size(column_winnow(col("toks"), 8, 5, 42L)).as("n_fingerprints"))
-  }
-
-  private def column_winnow(tokens: org.apache.spark.sql.Column, a: Int,
-      win: Int, seed: Long): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(graft.functions.WinnowExpr(bridge.expression(tokens), a, win, seed))
+        size(nxs_winnow(col("toks"), 8, 5, 42L)).as("n_fingerprints"))
   }
 
   // ---- events (windowed/sessionized aggregates) ----

@@ -15,7 +15,14 @@ object bridge {
     * DataFrame. Iterative algorithms (connected components) checkpoint per
     * round; without explicit release the superseded iterates accumulate
     * until they crowd out execution memory (ContextCleaner only frees them
-    * on driver GC, far too lazily for a tight loop). */
+    * on driver GC, far too lazily for a tight loop).
+    *
+    * IRREVERSIBLE: a localCheckpoint truncates lineage, so once its blocks
+    * are dropped the DataFrame can never be recomputed — any later action on
+    * it (or on a plan derived from it) fails. Only call this on a checkpoint
+    * that nothing will read again. On a plan that is not a bare
+    * localCheckpoint scan this is a silent no-op. Internal helper for the
+    * graft iterative ops; not a general-purpose API. */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

@@ -48,10 +48,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("annLsh candidates are above-threshold pairs and non-empty") {
-    val c = TrainingOps.annLsh(spark, dir).cache()
-    assert(c.where($"cos" < 0.3).count() == 0)
-    assert(c.count() > 0) // thresholds tuned to the testdata cosine range
+  test("annLsh recalls planted near-duplicate vectors (vs brute force)") {
+    // 40 random unit vectors, each with a near-dup copy (cos ≈ 0.997);
+    // unrelated pairs have |cos| ~ 1/sqrt(64) ≈ 0.125, far below tau.
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+      val near = unit(base.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("annlsh").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val got = TrainingOps.annLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every returned pair really is above tau (brute-force check)
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    got.foreach { case (a, b) => assert(cos(vecs(a), vecs(b)) >= 0.7) }
+    // recall of the planted near-dup pairs (sign-LSH S-curve at
+    // 16 bits x 8 tables gives ~0.9998 for cos ~0.997)
+    val planted = (0 until 40).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val hit = planted.count(got.contains)
+    assert(hit >= 36, s"planted near-dup recall $hit/40")
   }
 
   test("langId detects planted languages") {
@@ -60,7 +84,10 @@ class OpsSpec extends AnyFunSuite {
     assert(LangId.predict("le chat et le chien sont dans la maison") == "fr")
     assert(LangId.predict("el perro y el gato en la casa") == "es")
     assert(LangId.predict("世界你好这是一个测试文档") == "zh")
+    assert(LangId.predict("これはテストです。日本語の文書です。") == "ja")
+    assert(LangId.predict("안녕하세요 이것은 한국어 테스트 문서입니다") == "ko")
     assert(LangId.predict("") == "und")
+    assert(LangId.predict("zzqx bbnm kkpl") == "und")
   }
 
   test("quality scores bounded") {
