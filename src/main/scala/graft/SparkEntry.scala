@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dedup family (exact, MinHash/LSH, SimHash, n-gram Jaccard, winnowing),
   * similarity search (brute-force + LSH ANN), text analysis (lang-id,
   * quality, token counts, fingerprints), and event windowing/sessionization.
-  * Every SQL-expressible query has a DuckDB oracle in `oracleSql` with
-  * matching column names; the rest are rows-only checks whose semantics are
-  * pinned by the ScalaTest suites instead. */
+  * Every query has a DuckDB oracle in `oracleSql` with matching column
+  * names. Queries whose math is directly SQL-expressible are recomputed from
+  * the input tables; the signature-based ones (minhash/simhash/winnow/ann/
+  * nxs-postings/fingerprints) are verified from dumped signature primitives
+  * (see Verify.writeOracleDumps) with all downstream logic — pair
+  * predicates, band collisions, star edges, connected components —
+  * re-derived independently in SQL. */
 object SparkEntry {
 
   /** Flagship: full near-dup pipeline (MinHash/LSH + SimHash + winnowing +
@@ -41,7 +45,10 @@ object SparkEntry {
     // similarity search
     "q_embed_cosine" -> ((s, d) => TrainingOps.embedCosineAdjacent(s, d)),
     "q_embed_topk" -> ((s, d) => TrainingOps.embedTopK(s, d)),
-    "q_ann_lsh" -> ((s, d) => TrainingOps.annLsh(s, d)),
+    // tau lowered for the query only: this testdata's max pairwise cosine is
+    // ~0.51 (no near-duplicate vectors planted), so the honest op default
+    // (0.7) would be trivially empty here
+    "q_ann_lsh" -> ((s, d) => TrainingOps.annLsh(s, d, tau = 0.3)),
     // text analysis
     "q_quality" -> ((s, d) => TrainingOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TrainingOps.tokenCount(s, d)),
@@ -173,10 +180,145 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, max(session_idx) AS n_sessions,
         |       count(*) AS n_events
-        |FROM sess GROUP BY user_id""".stripMargin)
+        |FROM sess GROUP BY user_id""".stripMargin) ++ oracleSql2
 
   /** Raw token stream (duplicates kept) for per-doc stats. */
   private val POSTINGS_RAW =
     """SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |FROM documents""".stripMargin
+
+  // ---- oracles over the Verify-dumped support tables (/tmp/graft_oracle,
+  // see Verify.writeOracleDumps). DuckDB can't recompute ICU tokenization or
+  // xxhash64 (pinned by the reference-ported golden suites), so the token /
+  // hash / signature PRIMITIVES are dumped and everything downstream — pair
+  // predicates, star edges, band collisions, connected components, bit-vote
+  // assembly — is re-derived independently in SQL. ----
+
+  private val SIGS = "read_parquet('/tmp/graft_oracle/dedup_sigs/*.parquet')"
+  private val ANN_BUCKETS = "read_parquet('/tmp/graft_oracle/ann_buckets/*.parquet')"
+
+  /** 16 LSH bands collide iff the corresponding 8-slot sig slices are equal
+    * (xxhash64 band-key collisions only ever ADD candidates, which the
+    * Jaccard filter then removes — the slice test is the exact semantics). */
+  private val BAND_MATCH = (0 until 16)
+    .map(i => s"a.sig[${i * 8 + 1}:${i * 8 + 8}] = b.sig[${i * 8 + 1}:${i * 8 + 8}]")
+    .mkString(" OR ")
+
+  private def langProfileSql: Map[String, String] = Map(
+    "en" -> "'the','and','of','to','is','in','that','it','for','was','with','are','this','have','not'",
+    "de" -> "'der','die','das','und','ist','nicht','ein','eine','mit','für','von','auf','sich','dass','ich'",
+    "fr" -> "'le','la','les','et','est','un','une','des','que','pour','dans','qui','pas','sur','avec'",
+    "es" -> "'el','la','los','las','y','es','un','una','que','por','para','con','del','se','no'")
+
+  def oracleSql2: Map[String, String] = Map(
+    "q_nxs_postings" ->
+      s"""SELECT doc_id, term, count(*) AS cnt
+         |FROM (SELECT doc_id, unnest(tokens) AS term FROM $SIGS)
+         |GROUP BY doc_id, term""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, simhash FROM $SIGS)
+         |SELECT a.doc_id AS src, b.doc_id AS dst
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q_winnow_dups" ->
+      s"""WITH f AS (SELECT doc_id, unnest(winnow_fps20) AS fp FROM $SIGS),
+         |stats AS (SELECT fp, min(doc_id) AS mn, count(*) AS sz
+         |          FROM f GROUP BY fp HAVING count(*) > 1)
+         |SELECT DISTINCT s.mn AS src, f.doc_id AS dst
+         |FROM f JOIN stats s USING (fp) WHERE f.doc_id <> s.mn""".stripMargin,
+    "q_minhash_dedup" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, sig, shingles FROM $SIGS),
+         |cand AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst,
+         |         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         |         len(a.shingles) + len(b.shingles) AS tot
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE ($BAND_MATCH)),
+         |edges AS (
+         |  SELECT src, dst FROM cand
+         |  WHERE tot - inter > 0
+         |    AND CAST(inter AS DOUBLE) / (tot - inter) >= 0.85),
+         |und AS (SELECT src AS a, dst AS b FROM edges
+         |        UNION SELECT dst, src FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM s d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       row_number() OVER (PARTITION BY cluster_id
+         |                          ORDER BY CAST(doc_id AS VARCHAR)) = 1 AS is_champion
+         |FROM comp""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, bucket_key FROM $ANN_BUCKETS),
+         |stats AS (SELECT bucket_key, min(vec_id) AS mn, count(*) AS sz
+         |          FROM b GROUP BY bucket_key HAVING count(*) > 1),
+         |small AS (SELECT bucket_key FROM stats WHERE sz <= 16),
+         |sp AS (SELECT x.vec_id AS src, y.vec_id AS dst
+         |       FROM b x JOIN b y USING (bucket_key) JOIN small USING (bucket_key)
+         |       WHERE x.vec_id < y.vec_id),
+         |star AS (SELECT s.mn AS src, b.vec_id AS dst
+         |         FROM b JOIN stats s USING (bucket_key)
+         |         WHERE s.sz > 16 AND b.vec_id <> s.mn),
+         |cand AS (SELECT DISTINCT src, dst
+         |         FROM (SELECT * FROM sp UNION ALL SELECT * FROM star)),
+         |scored AS (
+         |  SELECT c.src AS id_a, c.dst AS id_b,
+         |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                CAST(eb.embedding AS DOUBLE[])) AS cos_raw
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.src
+         |  JOIN embeddings eb ON eb.vec_id = c.dst)
+         |SELECT id_a, id_b, round(cos_raw, 4) AS cos
+         |FROM scored WHERE cos_raw >= 0.3""".stripMargin,
+    "q_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, unnest(token_hashes) AS h FROM $SIGS),
+         |bits AS (
+         |  SELECT doc_id, r.b AS b,
+         |         sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN vote > 0 THEN
+         |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+         |                ELSE (1::BIGINT << CAST(b AS INT)) END ELSE 0 END) AS BIGINT)
+         |           AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash,
+         |       CAST(len(d.winnow_fps8) AS INT) AS n_fingerprints
+         |FROM $SIGS d LEFT JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text, left(coalesce(text, ''), 4000) AS head
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, lang, text,
+         |    length(head) AS total,
+         |    length(head) - length(regexp_replace(head, '\\p{Han}', '', 'g')) AS han,
+         |    length(head) - length(regexp_replace(head, '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS kana,
+         |    length(head) - length(regexp_replace(head, '\\p{Hangul}', '', 'g')) AS hangul,
+         |    list_slice(regexp_split_to_array(lower(head), '[^\\p{L}'']+'), 1, 500) AS words
+         |  FROM d),
+         |cnt AS (
+         |  SELECT doc_id, lang, text, total, han, kana, hangul,
+         |    len(list_filter(words, w -> w IN (${langProfileSql("en")}))) AS c_en,
+         |    len(list_filter(words, w -> w IN (${langProfileSql("de")}))) AS c_de,
+         |    len(list_filter(words, w -> w IN (${langProfileSql("fr")}))) AS c_fr,
+         |    len(list_filter(words, w -> w IN (${langProfileSql("es")}))) AS c_es
+         |  FROM feat)
+         |SELECT doc_id, lang,
+         |  CASE WHEN text IS NULL THEN NULL
+         |    WHEN total = 0 THEN 'und'
+         |    WHEN (han + kana + hangul) * 10 >= total AND han + kana + hangul > 0 THEN
+         |      CASE WHEN kana > 0 THEN 'ja' WHEN hangul > han THEN 'ko' ELSE 'zh' END
+         |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+         |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |    WHEN c_fr >= c_es THEN 'fr'
+         |    ELSE 'es' END AS pred_lang
+         |FROM cnt""".stripMargin)
 }

@@ -290,8 +290,13 @@ object DedupPipeline {
   /** End-to-end: pages → clusters(url, doc_id, cluster_id, is_champion).
     * cluster_id = min doc_id in the component; champion = earliest
     * (warc_ts, url) — deterministic, replay-stable tie-break. */
-  def clusters(pages: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val sigs = signatures(pages, cfg)
+  def clusters(pages: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    clustersFromSigs(signatures(pages, cfg), cfg)
+
+  /** clusters() from a prebuilt signatures relation — callers may rewrite
+    * `doc_id` first (e.g. to a table's own primary key instead of the
+    * default xxhash64(url)) as long as it stays unique. */
+  def clustersFromSigs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     sigs.cache()
     val e = edges(sigs, cfg)
     val comps = ConnectedComponents.run(e) // (id, comp)

@@ -67,44 +67,48 @@ object TrainingOps {
           .as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup clusters over documents (reference pipeline
-    * tokens). Non-SQL; correctness pinned by DedupPipelineSpec's oracle. */
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents table as the pipeline's page shape, with signatures keyed by
+    * the table's OWN doc_id (not the pipeline-internal xxhash64(url)) so the
+    * outputs — and the DuckDB oracles re-deriving them from dumped
+    * signatures — speak original ids. */
+  private[graft] def docSigs(spark: SparkSession, dir: String,
+      cfg: DedupConfig): DataFrame = {
     val pages = documents(spark, dir)
       .select(col("doc_id").cast("string").as("url"),
         lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
         lit(null: Array[Byte]).as("html"), col("text"),
         coalesce(col("lang"), lit("en")).as("lang"))
-    DedupPipeline.clusters(pages,
-      DedupConfig(runSimhash = false, runWinnow = false))
-      .select(col("url").cast("long").as("doc_id"), col("cluster_id"),
-        col("is_champion"))
+    DedupPipeline.signatures(pages, cfg)
+      .withColumn("doc_id", col("url").cast("long"))
   }
 
-  /** SimHash near-dup pairs over documents. */
+  /** MinHash+LSH near-dup clusters over documents (reference pipeline
+    * tokens). Oracle: DuckDB re-derives band collisions (sig-slice
+    * equality), exact Jaccard >= tau, and the connected components (via
+    * recursive transitive closure) from the dumped signatures. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig(runSimhash = false, runWinnow = false)
+    DedupPipeline.clustersFromSigs(docSigs(spark, dir, cfg), cfg)
+      .select("doc_id", "cluster_id", "is_champion")
+  }
+
+  /** SimHash near-dup pairs over documents: all (src < dst) pairs within
+    * Hamming distance 3. Pigeonhole candidate generation is complete for
+    * that predicate, so the DuckDB oracle is the brute-force pair scan over
+    * the dumped fingerprints. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runMinhash = false, runWinnow = false)
-    val pages = documents(spark, dir)
-      .select(col("doc_id").cast("string").as("url"),
-        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
-        lit(null: Array[Byte]).as("html"), col("text"),
-        coalesce(col("lang"), lit("en")).as("lang"))
-    val sigs = DedupPipeline.signatures(pages, cfg)
-    DedupPipeline.simhashCandidates(sigs, cfg)
+    DedupPipeline.simhashCandidates(docSigs(spark, dir, cfg), cfg)
       .select(col("src"), col("dst"))
   }
 
-  /** Winnowing fingerprint duplication pass (exact shared substrings). */
+  /** Winnowing fingerprint duplication pass (exact shared substrings) —
+    * star edges per shared fingerprint, re-derived 1:1 by the DuckDB oracle
+    * from the dumped fingerprint sets. */
   def winnowDups(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runMinhash = false, runSimhash = false,
       winnowA = 20, winnowWindow = 11)
-    val pages = documents(spark, dir)
-      .select(col("doc_id").cast("string").as("url"),
-        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
-        lit(null: Array[Byte]).as("html"), col("text"),
-        coalesce(col("lang"), lit("en")).as("lang"))
-    val sigs = DedupPipeline.signatures(pages, cfg)
-    DedupPipeline.winnowCandidates(sigs, cfg)
+    DedupPipeline.winnowCandidates(docSigs(spark, dir, cfg), cfg)
   }
 
   // ---- similarity search ----
