@@ -70,7 +70,13 @@ private[graft] object Materialize {
   def apply(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    else
+      df.localCheckpoint(eager, storageLevel)
+
+  private def storageLevel =
+    if (sys.props.getOrElse("graft.ckpt.ser", "false").toBoolean)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** Release a *local* checkpoint's blocks once nothing will read it again
     * (see bridge.unpersistCheckpoint — irreversible). Reliable checkpoints
@@ -118,14 +124,13 @@ object DedupPipeline {
     bridge.column(WinnowExpr(bridge.expression(tokens), a, win, seed))
   }
 
-  /** MinHash band keys: band i's key is xxhash64(band_idx, slice(sig)) — the
-    * band index is folded INTO the 64-bit hash, so the shuffle key is one
-    * long, not a struct (collisions across bands only add candidates, which
-    * verification removes). Docs sharing any band collide. */
-  private def bandKeys(cfg: DedupConfig): Seq[Column] =
-    (0 until cfg.bands).map { i =>
-      xxhash64(lit(i), slice(col("sig"), i * cfg.rowsPerBand + 1, cfg.rowsPerBand))
-    }
+  /** MinHash band keys: band i's key folds the band index and its sig slots
+    * into one 64-bit hash, so the shuffle key is a single long, not a struct
+    * (collisions across bands only add candidates, which verification
+    * removes). Docs sharing any band collide. One codegen'd pass over the
+    * sig — see BandKeysExpr for why not an array of per-band slice hashes. */
+  private def bandKeysCol(cfg: DedupConfig): Column =
+    nxs_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed)
 
   /** SimHash pigeonhole block keys: split the 64-bit fingerprint into
     * (maxHamming+1) blocks; any pair within Hamming distance d shares at
@@ -141,21 +146,40 @@ object DedupPipeline {
     }
   }
 
-  /** The unified bucketed relation: (doc_id, pass, bucket_key) — one explode
-    * over the per-row concatenation of all enabled candidate families. */
-  def bucketed(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    def tagged(pass: Int, keys: Column): Column =
-      transform(keys, k => struct(lit(pass).as("pass"), k.as("bucket_key")))
+  /** The unified bucketed relation with an inline-verification payload:
+    * (doc_id, pass, bucket_key, aux) — one explode over the per-row
+    * concatenation of all enabled candidate families. `aux` carries the
+    * 8-byte SimHash fingerprint on SimHash-pass rows (so the Hamming verify
+    * happens AT pair generation, no join back to the signatures), null on
+    * the others (MinHash needs full shingle sets — too wide to carry at
+    * 16 band rows/doc — and winnow needs no verify at all).
+    *
+    * MinHash band keys come precomputed from `band_keys` when the caller
+    * materialized them (clustersFromSigs does — 16 longs stored instead of
+    * the 128-long sig) and are derived from `sig` otherwise. */
+  private def bucketedAux(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val nullAux = lit(null).cast("long")
+    def tagged(pass: Int, keys: Column, aux: Column): Column =
+      transform(keys, k =>
+        struct(lit(pass).as("pass"), k.as("bucket_key"), aux.as("aux")))
+    val bandArr =
+      if (sigs.columns.contains("band_keys")) col("band_keys")
+      else bandKeysCol(cfg)
     val families = Seq(
-      (cfg.runMinhash, () => tagged(PassMinhash, array(bandKeys(cfg): _*))),
-      (cfg.runSimhash, () => tagged(PassSimhash, array(blockKeys(cfg): _*))),
-      (cfg.runWinnow, () => tagged(PassWinnow, col("winnow_fps")))
+      (cfg.runMinhash, () => tagged(PassMinhash, bandArr, nullAux)),
+      (cfg.runSimhash, () => tagged(PassSimhash, array(blockKeys(cfg): _*), col("simhash"))),
+      (cfg.runWinnow, () => tagged(PassWinnow, col("winnow_fps"), nullAux))
     ).collect { case (true, f) => f() }
     require(families.nonEmpty, "at least one pass must be enabled")
     val entries = if (families.size == 1) families.head else concat(families: _*)
     sigs.select(col("doc_id"), explode(entries).as("e"))
-      .select(col("doc_id"), col("e.pass").as("pass"), col("e.bucket_key").as("bucket_key"))
+      .select(col("doc_id"), col("e.pass").as("pass"),
+        col("e.bucket_key").as("bucket_key"), col("e.aux").as("aux"))
   }
+
+  /** (doc_id, pass, bucket_key) view, for diagnostics. */
+  def bucketed(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    bucketedAux(sigs, cfg).select("doc_id", "pass", "bucket_key")
 
   /** Candidate edges (pass, src, dst), src < dst, for all enabled passes.
     *
@@ -225,36 +249,54 @@ object DedupPipeline {
         sum(when(col("sz") > cfg.smallCap, 1).otherwise(0)).as("over_cap"),
         max("sz").as("max_sz"))
 
-  /** One fused verify join for all passes: pull each endpoint's signature
-    * columns once, then apply the pass-specific predicate — Jaccard >= tau
-    * for MinHash candidates, bit_count(xor) <= d for SimHash candidates;
-    * winnow pairs are accepted as-is (64-bit fingerprint equality IS the
-    * evidence, collision odds negligible). Returns distinct (src, dst). */
+  /** Verified edge set, distinct (src, dst), for all enabled passes.
+    *
+    * SimHash pairs are Hamming-verified INLINE at pair generation (the
+    * 8-byte fingerprint rides the bucket rows as `aux`; star edges get the
+    * bucket-min's fingerprint via min_by) and winnow pairs need no verify
+    * (64-bit fingerprint equality IS the evidence) — so only the MinHash
+    * pass joins back to the signatures, and only its pairs ship shingle
+    * arrays. The earlier fused all-pass verify join shipped shingles for
+    * every pair: ~3x the array bytes through the shuffle for nothing
+    * (measured 1.9 GB written at 175k docs; see git history). */
   def edges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val cand = candidateEdges(sigs, cfg)
-    val sigCols = col("doc_id") +:
-      (if (cfg.runMinhash) Seq(col("shingles")) else Nil) ++:
-      (if (cfg.runSimhash) Seq(col("simhash")) else Nil)
-    val s = sigs.select(sigCols: _*)
-    def endpoint(side: String) = s.toDF(s.columns.map(c => s"${c}_$side"): _*)
-      .withColumnRenamed(s"doc_id_$side", side)
-    var j = cand.join(endpoint("src"), "src").join(endpoint("dst"), "dst")
-    val accepts = scala.collection.mutable.ArrayBuffer.empty[Column]
-    if (cfg.runMinhash) {
-      val inter = size(array_intersect(col("shingles_src"), col("shingles_dst")))
-        .cast("double")
-      val uni = size(col("shingles_src")) + size(col("shingles_dst")) - inter
-      j = j.withColumn("jaccard",
-        when(uni > 0, inter / uni).otherwise(lit(0.0)))
-      accepts += (col("pass") === PassMinhash && col("jaccard") >= cfg.tau)
-    }
-    if (cfg.runSimhash) accepts +=
-      (col("pass") === PassSimhash &&
-        bit_count(col("simhash_src").bitwiseXOR(col("simhash_dst"))) <= cfg.simhashMaxHamming)
-    if (cfg.runWinnow) accepts += (col("pass") === PassWinnow)
-    j.where(accepts.reduce(_ || _))
-      .select("src", "dst")
-      .distinct()
+    val b = Materialize(bucketedAux(sigs, cfg))
+    val stats = b.groupBy("pass", "bucket_key")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"),
+        min_by(col("aux"), col("doc_id")).as("mn_aux"))
+      .where(col("sz") > 1)
+    val pairKeys = Seq("pass", "bucket_key")
+    val smallKeys = stats
+      .where(col("sz") <= cfg.smallCap && col("pass") =!= PassWinnow)
+      .select("pass", "bucket_key")
+    val bs = b.join(smallKeys, pairKeys)
+    val smallPairs = bs.as("x")
+      .join(bs.as("y"),
+        col("x.pass") === col("y.pass") &&
+          col("x.bucket_key") === col("y.bucket_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.pass") =!= PassSimhash ||
+        bit_count(col("x.aux").bitwiseXOR(col("y.aux"))) <= cfg.simhashMaxHamming)
+      .select(col("x.pass").as("pass"),
+        col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val starEdges = b
+      .join(stats.where(col("sz") > cfg.smallCap || col("pass") === PassWinnow),
+        pairKeys)
+      .where(col("doc_id") =!= col("mn"))
+      .where(col("pass") =!= PassSimhash ||
+        bit_count(col("aux").bitwiseXOR(col("mn_aux"))) <= cfg.simhashMaxHamming)
+      .select(col("pass"), col("mn").as("src"), col("doc_id").as("dst"))
+    // Dedup across buckets once; materialize because the per-pass split
+    // below would otherwise recompute the whole generation per branch.
+    // Pairs are ~20 bytes each — this is the small relation of the job.
+    val cand = Materialize(smallPairs.unionByName(starEdges).distinct())
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (cfg.runMinhash)
+      parts += verifyJaccard(cand.where(col("pass") === PassMinhash)
+        .select("src", "dst"), sigs, cfg).select("src", "dst")
+    if (cfg.runSimhash || cfg.runWinnow)
+      parts += cand.where(col("pass") =!= PassMinhash).select("src", "dst")
+    parts.reduce(_ unionByName _).distinct()
   }
 
   /** Single-pass entry points kept for the per-family ops/specs. */
@@ -295,16 +337,29 @@ object DedupPipeline {
 
   /** clusters() from a prebuilt signatures relation — callers may rewrite
     * `doc_id` first (e.g. to a table's own primary key instead of the
-    * default xxhash64(url)) as long as it stays unique. */
-  def clustersFromSigs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    sigs.cache()
+    * default xxhash64(url)) as long as it stays unique.
+    *
+    * The signatures relation is materialized as checkpoint BLOCKS
+    * (UnsafeRow), NOT through .cache(): the columnar cache re-encodes every
+    * array column into column batches on write and decodes them on every
+    * read — measured 5× slower to build and ~9× slower for the edges
+    * consumers than checkpoint blocks at 52k docs (tools/CacheExp). */
+  def clustersFromSigs(sigsIn: DataFrame, cfg: DedupConfig): DataFrame = {
+    // Store the 16 band keys instead of the 128-long sig they derive from:
+    // the materialized relation is the pipeline's most-read intermediate,
+    // and nothing downstream needs the raw signature.
+    val trimmed =
+      if (cfg.runMinhash)
+        sigsIn.withColumn("band_keys", bandKeysCol(cfg)).drop("sig")
+      else sigsIn
+    val sigs = Materialize(trimmed)
     val e = edges(sigs, cfg)
     val comps = ConnectedComponents.run(e) // (id, comp)
-    // CC materialized the edge set, so the wide cached signatures relation
+    // CC materialized the edge set, so the wide signatures relation
     // (shingle/sig/fingerprint arrays) has served its purpose — keep only
-    // the narrow doc projection and release the cache.
+    // the narrow doc projection and release the blocks.
     val docs = Materialize(sigs.select("url", "doc_id", "warc_ts"))
-    sigs.unpersist()
+    Materialize.release(sigs)
     val labeled = docs
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))

@@ -117,20 +117,29 @@ object ShingleHashesExpr {
       th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
       i += 1
     }
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val raw = new Array[Long](n - w + 1)
     i = 0
     while (i + w <= n) {
       var h = seed
       var j = 0
       while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
-      set.add(h)
+      raw(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(raw, raw.length))
+  }
+
+  /** Sort + dedup in place (primitive — no boxed TreeSet garbage in the
+    * per-row hot path). */
+  private[functions] def sortedDistinct(a: Array[Long], len: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, len)
+    var out = 0
+    var i = 0
+    while (i < len) {
+      if (out == 0 || a(out - 1) != a(i)) { a(out) = a(i); out += 1 }
+      i += 1
+    }
+    if (out == a.length) a else java.util.Arrays.copyOf(a, out)
   }
 }
 
@@ -264,6 +273,48 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object BandKeysExpr {
+  /** LSH band keys from a MinHash signature: band i's key is the XXH64 fold
+    * of (band index, its `rowsPerBand` signature slots) — one 64-bit long
+    * per band, so the downstream shuffle key is a single long and keys never
+    * collide across bands except by hash collision (which only ADDS
+    * candidates that Jaccard verification removes). One pass over the sig;
+    * the naive column form (array of xxhash64-over-slice) re-evaluates the
+    * signature child per band and allocates per-band slice copies. */
+  def keys(sig: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](bands)
+    var i = 0
+    while (i < bands) {
+      var h = XXH64.hashInt(i, seed)
+      var j = 0
+      while (j < rowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(i * rowsPerBand + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `nxs_band_keys(sig)` → array<bigint> of length `bands`. */
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int,
+    seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nxs_band_keys"
+
+  override def nullSafeEval(sig: Any): Any =
+    BandKeysExpr.keys(sig.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BandKeysExpr.keys($c, $bands, $rowsPerBand, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignLshExpr {
   /** Random-hyperplane (sign) LSH bucket keys over an embedding: `nTables`
     * independent tables, each hashing the vector to an `nBits`-bit sketch
@@ -345,27 +396,26 @@ object WinnowExpr {
       gh(i) = h
       i += 1
     }
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val sel = new Array[Long](math.max(1, nGrams - win + 1))
+    var nSel = 0
     if (nGrams <= win) {
       // single window
       var min = gh(0); i = 1
       while (i < nGrams) { if (gh(i) <= min) min = gh(i); i += 1 }
-      set.add(min)
+      sel(0) = min; nSel = 1
     } else {
       i = 0
       while (i + win <= nGrams) {
         var min = gh(i)
         var j = i + 1
         while (j < i + win) { if (gh(j) <= min) min = gh(j); j += 1 }
-        set.add(min)
+        sel(i) = min
         i += 1
       }
+      nSel = i
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(
+      ShingleHashesExpr.sortedDistinct(sel, nSel))
   }
 }
 

@@ -36,6 +36,10 @@ package object functions {
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 
+  def nxs_band_keys(sig: Column, bands: Int = 16, rowsPerBand: Int = 8,
+      seed: Long = 42L): Column =
+    column(BandKeysExpr(expression(sig), bands, rowsPerBand, seed))
+
   def sign_lsh(vec: Column, nBits: Int = 16, nTables: Int = 8,
       seed: Long = 42L): Column =
     column(SignLshExpr(expression(vec), nBits, nTables, seed))

@@ -42,9 +42,11 @@ object IndexMaintenance {
     val decrements = removedPost
       .groupBy("term")
       .agg(count(lit(1)).as("d_df"), sum("cnt").as("d_total"))
+    // term_id is preserved: the reference never reuses or compacts ids on
+    // delete (terms stay interned, /root/reference/src/index/terms.c).
     val termStats = idx.termStats
       .join(broadcast(decrements), Seq("term"), "left")
-      .select(col("term"),
+      .select(col("term"), col("term_id"),
         (col("df") - coalesce(col("d_df"), lit(0L))).as("df"),
         (col("total") - coalesce(col("d_total"), lit(0L))).as("total"))
       .where(col("df") > 0)
@@ -68,10 +70,29 @@ object IndexMaintenance {
 
     val postings = idx.postings.unionByName(delta.postings)
     val docStats = idx.docStats.unionByName(delta.docStats)
-    val termStats = idx.termStats
-      .unionByName(delta.termStats)
-      .groupBy("term")
-      .agg(sum("df").as("df"), sum("total").as("total"))
+    // Merge stats by term; ids: existing terms keep theirs, genuinely new
+    // terms get the next dense ids in the delta's own first-seen order —
+    // the relational form of the reference's append-and-assign
+    // (/root/reference/src/index/terms.c:226-235).
+    val maxId = idx.termStats.agg(coalesce(max("term_id"), lit(0L)))
+      .collect()(0).getLong(0)
+    val newIdW = org.apache.spark.sql.expressions.Window.orderBy(col("delta_id"))
+    val newIds = delta.termStats
+      .join(idx.termStats.select("term"), Seq("term"), "left_anti")
+      .select(col("term"), col("term_id").as("delta_id"))
+      .withColumn("new_id", lit(maxId) + row_number().over(newIdW))
+      .select("term", "new_id")
+    val merged = idx.termStats
+      .withColumnRenamed("term_id", "old_id")
+      .join(delta.termStats
+          .select(col("term"), col("df").as("d_df"), col("total").as("d_total")),
+        Seq("term"), "full_outer")
+      .join(newIds, Seq("term"), "left")
+      .withColumn("term_id", coalesce(col("old_id"), col("new_id")))
+    val termStats = merged
+      .select(col("term"), col("term_id"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("d_total"), lit(0L))).as("total"))
     SearchIndex(postings, docStats, termStats,
       idx.docCount + delta.docCount, idx.tokenCount + delta.tokenCount,
       idx.pipeline)

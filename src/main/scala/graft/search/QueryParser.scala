@@ -13,6 +13,10 @@ package graft.search
  *     (/root/reference/src/query/grammar.y:66-99)
  *   - nesting capped at 100 like NXS_QUERY_RLIMIT
  *     (/root/reference/src/query/search.c:69-70)
+ *   - syntax errors report line:offset plus up-to-50-chars context in the
+ *     reference's format `syntax error near L:C: "tok ..."`
+ *     (/root/reference/src/query/query.c:47-58: line from the lexer's line
+ *     counter, offset = byte offset of the token within its line)
  */
 sealed trait QExpr
 final case class QToken(value: String) extends QExpr
@@ -30,20 +34,30 @@ object QueryParser {
   case object TClose extends Tok
   final case class TStr(v: String, quoted: Boolean) extends Tok
 
-  private val ws = " \t\f\r\n"
+  /** Token + its source position (1-based line, 0-based offset within the
+    * line, absolute char index — mirroring query_set_error's
+    * `token - cur_line` arithmetic). */
+  final case class PTok(tok: Tok, line: Int, col: Int, start: Int)
 
-  /** Tokenize; Left(error) on lexical error (e.g. unterminated quote that
-    * also fails as free-form — cannot happen since FF accepts quotes). */
-  def lex(q: String): Either[String, List[Tok]] = {
-    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+  private val ws = " \t\f\r\n"
+
+  /** Position-tracked lexer. */
+  def lexPos(q: String): Either[String, List[PTok]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[PTok]
     var i = 0
+    var line = 1
+    var lineStart = 0
     val n = q.length
     while (i < n) {
       val c = q.charAt(i)
-      if (ws.indexOf(c) >= 0) i += 1
-      else if (c == '(') { out += TOpen; i += 1 }
-      else if (c == ')') { out += TClose; i += 1 }
+      if (c == '\n') { line += 1; i += 1; lineStart = i }
+      else if (ws.indexOf(c) >= 0) i += 1
+      else if (c == '(') { out += PTok(TOpen, line, i - lineStart, i); i += 1 }
+      else if (c == ')') { out += PTok(TClose, line, i - lineStart, i); i += 1 }
       else {
+        val tokLine = line
+        val tokCol = i - lineStart
+        val tokStart = i
         // candidate 1: quoted string (only if it starts with a quote)
         var quotedEnd = -1
         if (c == '\'' || c == '"') {
@@ -62,31 +76,50 @@ object QueryParser {
         while (ffEnd < n && ws.indexOf(q.charAt(ffEnd)) < 0 &&
                q.charAt(ffEnd) != '(' && q.charAt(ffEnd) != ')') ffEnd += 1
         // re2c: longest match wins; tie -> earlier rule (quoted)
-        if (quotedEnd >= ffEnd && quotedEnd > i) {
-          out += TStr(q.substring(i + 1, quotedEnd - 1), quoted = true)
-          i = quotedEnd
-        } else {
-          val run = q.substring(i, ffEnd)
-          run match {
-            case "&" => out += TAnd
-            case "|" => out += TOr
-            case _ if run.equalsIgnoreCase("and") => out += TAnd
-            case _ if run.equalsIgnoreCase("or") => out += TOr
-            case _ if run.equalsIgnoreCase("not") => out += TNot
-            case _ => out += TStr(run, quoted = false)
+        val tok =
+          if (quotedEnd >= ffEnd && quotedEnd > i) {
+            val t = TStr(q.substring(i + 1, quotedEnd - 1), quoted = true)
+            i = quotedEnd
+            t
+          } else {
+            val run = q.substring(i, ffEnd)
+            i = ffEnd
+            run match {
+              case "&" => TAnd
+              case "|" => TOr
+              case _ if run.equalsIgnoreCase("and") => TAnd
+              case _ if run.equalsIgnoreCase("or") => TOr
+              case _ if run.equalsIgnoreCase("not") => TNot
+              case _ => TStr(run, quoted = false)
+            }
           }
-          i = ffEnd
-        }
+        out += PTok(tok, tokLine, tokCol, tokStart)
       }
     }
     Right(out.toList)
   }
 
-  private final class P(var toks: List[Tok]) {
-    var depth = 0
-    def peek: Option[Tok] = toks.headOption
-    def next(): Tok = { val h = toks.head; toks = toks.tail; h }
+  /** Position-free view (compat). */
+  def lex(q: String): Either[String, List[Tok]] = lexPos(q).map(_.map(_.tok))
 
+  private final class P(val query: String, var toks: List[PTok]) {
+    var depth = 0
+    var last: Option[PTok] = None
+    def peek: Option[PTok] = toks.headOption
+    def next(): PTok = {
+      val h = toks.head; toks = toks.tail; last = Some(h); h
+    }
+
+    /** Reference error shape (query.c:56-57): line:offset + up to 50 chars
+      * of context from the offending token. */
+    def fail(at: Option[PTok]): Nothing = {
+      val (line, col, start) = at.orElse(last)
+        .map(p => (p.line, p.col, p.start))
+        .getOrElse((1, query.length, query.length))
+      val ctx = query.substring(math.min(start, query.length)).take(50)
+      throw new IllegalArgumentException(
+        s"""syntax error near $line:$col: "$ctx ..."""")
+    }
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
     // precedence: OR=1, AND=2
@@ -96,12 +129,12 @@ object QueryParser {
       var left = parsePrimary()
       var done = false
       while (!done) {
-        peek match {
+        peek.map(_.tok) match {
           case Some(TOr) if minPrec <= 1 =>
             next(); left = QOr(left, parseExpr(2))
           case Some(TAnd) if minPrec <= 2 =>
             next()
-            peek match {
+            peek.map(_.tok) match {
               case Some(TNot) => next(); left = QAndNot(left, parseExpr(3))
               case _ => left = QAnd(left, parseExpr(3))
             }
@@ -112,16 +145,16 @@ object QueryParser {
       left
     }
 
-    def parsePrimary(): QExpr = peek match {
+    def parsePrimary(): QExpr = peek.map(_.tok) match {
       case Some(TStr(v, _)) => next(); QToken(v)
       case Some(TOpen) =>
         next()
         val e = parseExpr(0)
-        peek match {
+        peek.map(_.tok) match {
           case Some(TClose) => next(); e
-          case _ => fail("syntax error: expected ')'")
+          case _ => fail(peek)
         }
-      case other => fail(s"syntax error near $other")
+      case _ => fail(peek)
     }
 
     /** Top level: expr_list — juxtaposed exprs fold into OR
@@ -129,10 +162,10 @@ object QueryParser {
     def parseQuery(): QExpr = {
       var root = parseExpr(0)
       while (peek.isDefined) {
-        peek match {
+        peek.map(_.tok) match {
           case Some(TStr(_, _)) | Some(TOpen) =>
             root = QOr(root, parseExpr(0))
-          case other => fail(s"syntax error near $other")
+          case _ => fail(peek)
         }
       }
       root
@@ -140,10 +173,10 @@ object QueryParser {
   }
 
   def parse(q: String): Either[String, QExpr] =
-    lex(q).flatMap { toks =>
+    lexPos(q).flatMap { toks =>
       if (toks.isEmpty) Left("empty query")
       else
-        try Right(new P(toks).parseQuery())
+        try Right(new P(q, toks).parseQuery())
         catch { case e: IllegalArgumentException => Left(e.getMessage) }
     }
 

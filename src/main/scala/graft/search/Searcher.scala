@@ -49,17 +49,29 @@ object Searcher {
       .where(col("term").isin(tokens: _*))
       .select("term").collect().map(_.getString(0)).toSet
 
+    // Fuzzy fallback for ALL unresolved tokens in ONE job (the reference
+    // bounds this with a BK-tree, /root/reference/src/algo/bktree.c:160-275;
+    // relationally the bound is a broadcast of the tiny query-token set +
+    // |len(term) - len(tok)| <= 2 pruning before the bounded levenshtein,
+    // so the terms relation is scanned once per QUERY, not once per token).
+    val unresolvedToks = tokens.filterNot(present)
     val fuzzyResolved: Map[String, String] =
-      if (!fuzzy) Map.empty
-      else tokens.filterNot(present).flatMap { t =>
-        // candidate = max-total term within distance 2 (deterministic
-        // tie-break by term for replay stability)
-        val cand = idx.termStats
-          .where(levenshtein(col("term"), lit(t)) <= 2)
-          .orderBy(col("total").desc, col("term"))
-          .select("term").limit(1).collect()
-        cand.headOption.map(r => t -> r.getString(0))
-      }.toMap
+      if (!fuzzy || unresolvedToks.isEmpty) Map.empty
+      else {
+        val spark = idx.termStats.sparkSession
+        import spark.implicits._
+        val qdf = unresolvedToks.toDF("qtok")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qtok").orderBy(col("total").desc, col("term"))
+        idx.termStats
+          .join(broadcast(qdf),
+            abs(length(col("term")) - length(col("qtok"))) <= 2 &&
+              levenshtein(col("term"), col("qtok"), 2) >= 0)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("qtok", "term")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      }
 
     val resolved = piped.collect {
       case (leaf, Some(tok)) if present(tok) => leaf -> tok

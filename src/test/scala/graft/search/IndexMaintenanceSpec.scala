@@ -48,8 +48,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val full = build(base :+ (4L -> "fish play in water"))
     assert(added.docCount == full.docCount)
     assert(added.tokenCount == full.tokenCount)
-    val a = added.termStats.orderBy("term").as[(String, Long, Long)].collect()
-    val f = full.termStats.orderBy("term").as[(String, Long, Long)].collect()
+    // full tuple including term_id: incremental interning must assign the
+    // SAME dense first-seen ids as a from-scratch rebuild over base ∪ extra
+    val a = added.termStats.orderBy("term")
+      .as[(String, Long, Long, Long)].collect()
+    val f = full.termStats.orderBy("term")
+      .as[(String, Long, Long, Long)].collect()
     assert(a.toSeq == f.toSeq)
     // doc 1 keeps its ORIGINAL text (duplicate add rejected)
     assert(searchIds(added, "duplicate") == Set.empty[Long])

@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.SparkTestBase
+import graft.text.TextPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durable-index lifecycle (build → kill → reopen), term interning order,
+  * and query-error positions — reference semantics:
+  * terms.c:226-235 (ids 1..N first-seen), query.c:47-58 (line:offset +
+  * 50-char context). */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    1L -> "cats eat fish",
+    2L -> "dogs eat meat",
+    3L -> "cats and dogs play")
+
+  test("term ids are dense 1..N in first-seen order (terms.c:226-235)") {
+    val idx = SearchIndex.build(base.toDF("doc_id", "text"),
+      TextPipeline.noStopwords)
+    val byId = idx.termStats.orderBy("term_id")
+      .select("term_id", "term").as[(Long, String)].collect()
+    assert(byId.map(_._1).toSeq == (1L to byId.length))
+    // insertion order: doc 1 ("cat", "eat", "fish"), then doc 2 adds
+    // ("dog", "meat"), then doc 3 adds ("and", "play") — stemmed forms
+    assert(byId.map(_._2).toSeq ==
+      Seq("cat", "eat", "fish", "dog", "meat", "and", "play"))
+  }
+
+  test("build, kill session state, reopen: identical scores, no recompute") {
+    val root = java.nio.file.Files.createTempDirectory("idxstore").toString
+    val cfg = TextPipeline.noStopwords
+    def scores(idx: SearchIndex): Map[Long, Double] =
+      Searcher.search(idx, "cats AND dogs").fold(e => fail(e),
+        _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+
+    val idx1 = IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root)
+    val s1 = scores(idx1)
+    assert(s1.nonEmpty)
+
+    // "restart": clear every cached/checkpointed block, then reopen with a
+    // docs thunk that would fail if evaluated — proving the committed
+    // tables alone serve the index.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val idx2 = IndexStore.buildOrOpen(
+      { fail("docs must not be recomputed on reopen"); null }, cfg, spark, root)
+    assert(scores(idx2) == s1)
+    assert(idx2.docCount == idx1.docCount && idx2.tokenCount == idx1.tokenCount)
+
+    // a config change invalidates the committed stages and rebuilds
+    val idx3 = IndexStore.buildOrOpen(base.toDF("doc_id", "text"),
+      TextPipeline.default, spark, root)
+    assert(idx3.termStats.count() > 0)
+  }
+
+  test("syntax errors carry line:offset + context (query.c:47-58 format)") {
+    val e1 = QueryParser.parse("a AND").left.getOrElse(fail("expected error"))
+    assert(e1.matches("""syntax error near \d+:\d+: ".*""""), e1)
+    val e2 = QueryParser.parse("ok\nalso (broken").left.getOrElse(fail("err"))
+    // the unclosed paren is on line 2; context quotes from the failing token
+    assert(e2.startsWith("syntax error near 2:"), e2)
+    val e3 = QueryParser.parse(")").left.getOrElse(fail("err"))
+    assert(e3.contains("1:0"), e3)
+  }
+}
