@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured 2.1x throughput and 0.84 (vs 0.57) 8->32-thread scaling over
   // the default G1 (graft.tools.MicroBench `threads` mode).
   "-XX:+UseParallelGC",
+  // Half the heap as young gen: the pipeline's garbage is overwhelmingly
+  // short-lived per-row allocation; the adaptive default young gen is far
+  // too small at 32 allocation-heavy threads (tools/ScaleProbe A/B).
+  "-XX:NewRatio=1",
 )

@@ -37,6 +37,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalescing collapses the CPU-heavy-but-byte-light pair stages to a
+      // handful of partitions (serializing them); AQE itself stays on — its
+      // runtime broadcast conversions are a measured 2x win (ScaleProbe A/B)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local bench inputs are small files; keep every core fed (see
@@ -49,8 +53,10 @@ object Bench {
 
     // Synthetic web corpus for the flagship dedup benchmark, written once
     // (untimed) so the timed job reads parquet like production.
-    val corpusDir = "/tmp/graft_bench_corpus"
-    val nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "100000").toInt
+    val corpusDir = "/tmp/graft_scale_corpus" // shared with bench/ScalingBench
+    // 400k clusters ≈ 699k pages — the BENCH/BASELINE.md corpus, so the
+    // reported dedup docs/sec is directly comparable to the baseline.
+    val nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "400000").toInt
     val corpusPath = s"$corpusDir/c$nClusters"
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       SyntheticCorpus.pages(spark, SyntheticCorpus.Config(nClusters = nClusters))

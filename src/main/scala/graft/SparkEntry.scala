@@ -55,6 +55,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TrainingOps.langId(s, d)),
     "q_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, d)),
     "q_nxs_postings" -> ((s, d) => RelationalOps.nxsPostings(s, d)),
+    "q_nation_revenue" -> ((s, d) => RelationalOps.nationRevenue(s, d)),
     // events
     "q_events_hourly" -> ((s, d) => TrainingOps.eventsHourly(s, d)),
     "q_events_sessions" -> ((s, d) => TrainingOps.eventsSessions(s, d)))
@@ -112,6 +113,18 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
     "q_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "q_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             CAST((1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -19,6 +19,7 @@ object RecallCheck {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (64L << 10).toString)

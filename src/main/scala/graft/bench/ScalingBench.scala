@@ -18,7 +18,7 @@ import java.nio.file.{Files, Paths}
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
-    val nClusters = args.headOption.map(_.toInt).getOrElse(50000)
+    val nClusters = args.headOption.map(_.toInt).getOrElse(400000)
     val runs = 3
     val corpusPath = s"/tmp/graft_scale_corpus/c$nClusters"
 
@@ -27,6 +27,9 @@ object ScalingBench {
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.adaptive.enabled", "true")
+        // see Bench.scala: skew-join handling on, size-based coalescing off
+        // (it serializes the CPU-bound pair stages at bench data volumes)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         // The bench corpus is ~70 MB in 32 small files; the 128 MB default

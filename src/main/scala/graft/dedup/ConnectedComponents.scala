@@ -36,13 +36,16 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // Symmetric adjacency (both directions), deduped, materialized once —
     // lazily, so the first iteration's job does it (no separate barrier).
+    // Pre-partitioned by src: the per-iteration message join keys on src, so
+    // the (reused-every-round) adjacency side never re-exchanges.
     val adj = Materialize(
       edges.where(col("src") =!= col("dst"))
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct(),
+        .distinct()
+        .repartition(col("src")),
       eager = false)
 
     var labels = Materialize(

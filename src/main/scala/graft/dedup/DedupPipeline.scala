@@ -259,7 +259,7 @@ object DedupPipeline {
     * arrays. The earlier fused all-pass verify join shipped shingles for
     * every pair: ~3x the array bytes through the shuffle for nothing
     * (measured 1.9 GB written at 175k docs; see git history). */
-  def edges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  private[dedup] def edgesRaw(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val b = Materialize(bucketedAux(sigs, cfg))
     val stats = b.groupBy("pass", "bucket_key")
       .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"),
@@ -296,8 +296,14 @@ object DedupPipeline {
         .select("src", "dst"), sigs, cfg).select("src", "dst")
     if (cfg.runSimhash || cfg.runWinnow)
       parts += cand.where(col("pass") =!= PassMinhash).select("src", "dst")
-    parts.reduce(_ unionByName _).distinct()
+    parts.reduce(_ unionByName _)
   }
+
+  /** Distinct verified edges (public contract; clustering goes through
+    * edgesRaw — ConnectedComponents dedups in its adjacency build, so a
+    * pre-distinct would just add a full exchange of the edge set). */
+  def edges(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    edgesRaw(sigs, cfg).distinct()
 
   /** Single-pass entry points kept for the per-family ops/specs. */
   def minhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
@@ -353,7 +359,7 @@ object DedupPipeline {
         sigsIn.withColumn("band_keys", bandKeysCol(cfg)).drop("sig")
       else sigsIn
     val sigs = Materialize(trimmed)
-    val e = edges(sigs, cfg)
+    val e = edgesRaw(sigs, cfg)
     val comps = ConnectedComponents.run(e) // (id, comp)
     // CC materialized the edge set, so the wide signatures relation
     // (shingle/sig/fingerprint arrays) has served its purpose — keep only

@@ -26,6 +26,11 @@ object DedupRunner {
     val sigs = store.runStage("signatures", fp) {
       DedupPipeline.signatures(pages, cfg)
     }
+    // Bucket-population diagnostics (over-cap buckets fall back to star
+    // edges; surfacing the count makes that recall trade observable).
+    store.runStage("bucket_stats", fp, inputs = Seq("signatures")) {
+      DedupPipeline.bucketStats(sigs, cfg)
+    }
     val edges = store.runStage("edges", fp, inputs = Seq("signatures")) {
       DedupPipeline.edges(sigs, cfg)
     }

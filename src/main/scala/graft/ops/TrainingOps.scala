@@ -334,6 +334,26 @@ object RelationalOps {
   def langDist(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).groupBy("lang").agg(count(lit(1)).as("n"))
 
+  /** Multi-table relational join (TPC-H Q5 shape): revenue per region/nation
+    * over customer ⋈ orders ⋈ lineitem with the two small dimension tables
+    * broadcast. Money math in DECIMAL so the sum is exact and
+    * engine-identical (double summation order would differ). At scale the
+    * two fact joins are shuffle hash/sort-merge on their keys; nation and
+    * region never shuffle. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,4)"))
+    t("customer")
+      .join(t("orders"), col("c_custkey") === col("o_custkey"))
+      .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(rev).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def topkDocs(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .orderBy(col("n_chars").desc, col("doc_id"))
