@@ -11,15 +11,23 @@ import java.nio.file.{Files, Paths}
  * between N and 4N executors"; sandbox protocol per the driver: the same
  * job + input at local[8] and local[32], efficiency = (T_8 / T_32) / 4).
  *
- * Protocol: one corpus written once; per parallelism level a fresh
- * SparkSession (shuffle.partitions = cores), one untimed warmup run on a
- * small corpus (JIT/classloading), then `runs` timed runs of the full dedup
- * pipeline; median reported. Writes BENCH/BASELINE.md.
+ * Protocol — designed for a host whose effective CPU drifts ±2x on minute
+ * timescales (documented in BENCH/BASELINE.md):
+ *   - one corpus written once; one untimed full warmup run (per-JVM JIT);
+ *   - `rounds` PAIRED measurements: a local[8] run and a local[32] run
+ *     back-to-back (fresh session each, shuffle.partitions = cores), so
+ *     each ratio T8_i/T32_i compares runs taken ~2 minutes apart in the
+ *     same host-throttle state — medians of independently-pooled runs mix
+ *     throttle states and have produced 2x spreads for identical code;
+ *   - headline efficiency = median of the pairwise ratios / 4;
+ *   - the no-Spark kernel ceiling (same per-doc compute on raw threads) is
+ *     measured in the same process as the control for the single-box
+ *     memory/GC bound.
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nClusters = args.headOption.map(_.toInt).getOrElse(400000)
-    val runs = 3
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
     val corpusPath = s"/tmp/graft_scale_corpus/c$nClusters"
 
     def newSession(cores: Int): SparkSession = {
@@ -27,16 +35,15 @@ object ScalingBench {
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.adaptive.enabled", "true")
-        // see Bench.scala: skew-join handling on, size-based coalescing off
-        // (it serializes the CPU-bound pair stages at bench data volumes)
+        // skew-join handling on; size-based coalescing off (it serializes
+        // the CPU-bound pair stages at bench data volumes — see Bench.scala)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        // The bench corpus is ~70 MB in 32 small files; the 128 MB default
-        // split size would pack the whole scan into 1-2 input partitions and
-        // serialize the per-doc compute. Real 100 TB tables have 128 MB-1 GB
-        // files where the default is right; here the split size is the knob
-        // that stands in for "enough files to feed every core".
+        // The bench corpus is small parquet files; the 128 MB default split
+        // size would pack the scan into few input partitions and serialize
+        // the per-doc compute. Real 100 TB tables have 128 MB-1 GB files
+        // where the default is right.
         .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
         .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
         .getOrCreate()
@@ -51,39 +58,40 @@ object ScalingBench {
         .write.mode("overwrite").parquet(corpusPath)
     }
     val nDocs = spark.read.parquet(corpusPath).count()
-    spark.stop()
 
-    def timedRuns(cores: Int): Seq[Double] = {
-      spark = newSession(cores)
-      // warmup: one FULL end-to-end run of the real corpus, untimed — JIT,
-      // whole-stage codegen compilation, and parquet footer caches all need
-      // the actual workload shape (a small-corpus warmup leaves the first
-      // timed run 2-4x slower and makes the medians incomparable).
-      DedupPipeline.clusters(spark.read.parquet(corpusPath), DedupConfig()).count()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        DedupPipeline.clusters(spark.read.parquet(corpusPath), DedupConfig()).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        // Make runs independent: the pipeline caches its signatures relation
-        // (identical plans would hit the CacheManager next run and skip the
-        // tokenize/minhash compute) and localCheckpoints its CC iterates —
-        // drop both kinds of blocks.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        t
-      }
-      spark.stop()
-      times
+    def clear(s: SparkSession): Unit = {
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def timedRun(s: SparkSession): Double = {
+      val t0 = System.nanoTime()
+      DedupPipeline.clusters(s.read.parquet(corpusPath), DedupConfig()).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      clear(s)
+      t
     }
 
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // warmup: one FULL end-to-end run of the real corpus, untimed — JIT,
+    // whole-stage codegen compilation, and parquet footer caches all need
+    // the actual workload shape. JIT state survives session restarts (same
+    // JVM), so one warmup covers every paired run below.
+    timedRun(spark)
+    spark.stop()
 
-    val t8 = timedRuns(8)
-    val t32 = timedRuns(32)
-    val m8 = median(t8); val m32 = median(t32)
-    val eff = (m8 / m32) / 4.0
+    val pairs = (1 to rounds).map { i =>
+      spark = newSession(8)
+      val t8 = timedRun(spark)
+      spark.stop()
+      spark = newSession(32)
+      val t32 = timedRun(spark)
+      spark.stop()
+      System.err.println(f"[scaling] pair $i: t8=$t8%.2f t32=$t32%.2f ratio=${t8 / t32}%.2f")
+      (t8, t32)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val ratios = pairs.map { case (a, b) => a / b }
+    val eff = median(ratios) / 4.0
+    val m8 = median(pairs.map(_._1)); val m32 = median(pairs.map(_._2))
     val dps8 = nDocs / m8; val dps32 = nDocs / m32
 
     // Platform ceiling: the same per-doc kernel (tokenize → shingles →
@@ -125,10 +133,17 @@ object ScalingBench {
       nThreads.toLong * reps * 3000 / ((System.nanoTime() - t0) / 1e9)
     }
     kernelDps(8) // warmup
-    val k8 = kernelDps(8); val k32 = kernelDps(32)
-    val ceiling = (k32 / k8) / 4.0
+    val kernelRatios = (1 to rounds).map { _ =>
+      val k8 = kernelDps(8); val k32 = kernelDps(32)
+      (k8, k32, (k32 / k8) / 4.0)
+    }
+    val k8 = median(kernelRatios.map(_._1)); val k32 = median(kernelRatios.map(_._2))
+    val ceiling = median(kernelRatios.map(_._3))
     val normEff = eff / math.min(1.0, ceiling)
 
+    val pairRows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      f"| ${i + 1} | $a%.2f | $b%.2f | ${a / b / 4.0}%.3f |"
+    }.mkString("\n")
     val md =
       f"""# BENCH/BASELINE — measured throughput & scaling (this engine)
          |
@@ -138,27 +153,35 @@ object ScalingBench {
          |SimHash(hamming≤3) + winnowing substring pass → connected
          |components → cluster resolve. Input: deterministic synthetic
          |Common-Crawl-style corpus (seed=42), $nDocs%,d pages, read from
-         |parquet. Median of $runs runs, warm JVM, per-level fresh session,
-         |`spark.sql.shuffle.partitions` = cores.
+         |parquet. One untimed warmup, then $rounds PAIRED local[8]/local[32]
+         |runs (fresh session per run, `spark.sql.shuffle.partitions` =
+         |cores); headline efficiency = median of pairwise (T_8/T_32)/4 —
+         |pairing because this sandbox's effective CPU drifts ±2× on minute
+         |timescales, which poisons medians of independently pooled runs.
          |
          |The reference (rmind/nxsearch) publishes no numbers (BASELINE.md);
          |these are the engine's own baseline figures for future rounds.
          |
-         || parallelism | median wall (s) | docs/sec | runs (s) |
+         || pair | T_8 (s) | T_32 (s) | efficiency |
          ||---|---|---|---|
-         || local[8]  | ${m8}%.2f | ${dps8}%.0f | ${t8.map(t => f"$t%.2f").mkString(", ")} |
-         || local[32] | ${m32}%.2f | ${dps32}%.0f | ${t32.map(t => f"$t%.2f").mkString(", ")} |
+         |$pairRows
          |
-         |**Scaling efficiency (T_8 / T_32) / 4 = ${eff}%.3f** (target ≥ 0.8 per
-         |BASELINE.json north_rule; sandbox evidence protocol = same job +
-         |input at two parallelism levels, per driver instruction).
+         || parallelism | median wall (s) | docs/sec |
+         ||---|---|---|
+         || local[8]  | ${m8}%.2f | ${dps8}%.0f |
+         || local[32] | ${m32}%.2f | ${dps32}%.0f |
+         |
+         |**Scaling efficiency: median pairwise (T_8 / T_32) / 4 = ${eff}%.3f**
+         |(target ≥ 0.8 per BASELINE.json north_rule; sandbox evidence
+         |protocol = same job + input at two parallelism levels, per driver
+         |instruction).
          |
          |## Platform ceiling (single shared-memory box)
          |
          |The same per-doc kernel (tokenize → shingles → minhash → simhash →
          |winnow) run on raw JVM threads, **no Spark**:
          |
-         || threads | kernel docs/sec |
+         || threads | kernel docs/sec (median of $rounds) |
          ||---|---|
          || 8  | ${k8}%.0f |
          || 32 | ${k32}%.0f |
@@ -166,17 +189,17 @@ object ScalingBench {
          |Raw 8→32-thread scaling on this box = **${ceiling}%.3f** — the memory
          |bandwidth + GC bound of one machine, independent of any engine. The
          |pipeline's Spark-level efficiency normalized to that ceiling is
-         |**${normEff}%.3f** (values ≥ 1 mean the Spark job scales at least as
-         |well as the raw kernel bound; shuffle stages can scale superlinearly
-         |on this box because per-task hash/sort working sets shrink with more
-         |partitions). A real N→4N *executor* scale-up multiplies machines
-         |(memory systems included), where the single-box bound does not
-         |apply; the shuffle-light design (star edges, hash-only shuffles,
-         |AQE + salting) is what carries the ≥ 0.8 target there.
+         |**${normEff}%.3f**. A real N→4N *executor* scale-up multiplies
+         |machines (memory systems included), where the single-box bound does
+         |not apply; the shuffle-light design (one unified candidate shuffle,
+         |star edges, one-long bucket keys, inline SimHash verify, AQE +
+         |salting) is what carries the ≥ 0.8 target there.
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t8_sec":$m8,"t32_sec":$m32,"docs":$nDocs,"docs_per_sec_8":$dps8,"docs_per_sec_32":$dps32,"platform_ceiling":$ceiling,"normalized_efficiency":$normEff}""")
+    val json = s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t8_sec":$m8,"t32_sec":$m32,"docs":$nDocs,"docs_per_sec_8":$dps8,"docs_per_sec_32":$dps32,"platform_ceiling":$ceiling,"normalized_efficiency":$normEff,"pair_ratios":[${ratios.map(r => f"${r / 4.0}%.4f").mkString(",")}]}"""
+    Files.writeString(Paths.get("BENCH/scaling.json"), json + "\n")
+    println(json)
   }
 }

@@ -260,28 +260,46 @@ object DedupPipeline {
     * every pair: ~3x the array bytes through the shuffle for nothing
     * (measured 1.9 GB written at 175k docs; see git history). */
   private[dedup] def edgesRaw(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val b = Materialize(bucketedAux(sigs, cfg))
-    val stats = b.groupBy("pass", "bucket_key")
-      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"),
-        min_by(col("aux"), col("doc_id")).as("mn_aux"))
+    // ONE bucket shuffle: the bounded membership aggregate keeps at most
+    // smallCap+1 members per bucket (map-side combinable, bounded memory on
+    // any skew) while tracking the true count and true min. Buckets whose
+    // count fits the cap therefore carry COMPLETE membership and enumerate
+    // their pairs (or, for winnow, their star edges) in place — no
+    // checkpoint of the bucket relation, no stats join, no self-join.
+    // Only the rare over-cap buckets (mass-duplicate content) join back to
+    // a recomputed bucket stream for their star edges; AQE broadcasts that
+    // tiny key set (and collapses the join entirely when it is empty).
+    val agg = bucketedAux(sigs, cfg)
+      .groupBy("pass", "bucket_key")
+      .agg(bounded_bucket(col("doc_id"), col("aux"), cfg.smallCap).as("g"))
+      .select(col("pass"), col("bucket_key"), col("g.sz").as("sz"),
+        col("g.mn").as("mn"), col("g.mn_aux").as("mn_aux"),
+        col("g.members").as("members"))
       .where(col("sz") > 1)
-    val pairKeys = Seq("pass", "bucket_key")
-    val smallKeys = stats
-      .where(col("sz") <= cfg.smallCap && col("pass") =!= PassWinnow)
-      .select("pass", "bucket_key")
-    val bs = b.join(smallKeys, pairKeys)
-    val smallPairs = bs.as("x")
-      .join(bs.as("y"),
-        col("x.pass") === col("y.pass") &&
-          col("x.bucket_key") === col("y.bucket_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .where(col("x.pass") =!= PassSimhash ||
-        bit_count(col("x.aux").bitwiseXOR(col("y.aux"))) <= cfg.simhashMaxHamming)
-      .select(col("x.pass").as("pass"),
-        col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    val starEdges = b
-      .join(stats.where(col("sz") > cfg.smallCap || col("pass") === PassWinnow),
-        pairKeys)
+    val small = agg.where(col("sz") <= cfg.smallCap)
+    // all unordered member pairs of a complete small bucket, canonicalized
+    // src < dst (collection order is nondeterministic)
+    val pairsArr = flatten(transform(
+      slice(col("members"), lit(1), size(col("members")) - 1),
+      (x, i) => transform(
+        slice(col("members"), i + lit(2), size(col("members")) - i - 1),
+        y => struct(x.getField("doc_id").as("a"), x.getField("aux").as("a_aux"),
+          y.getField("doc_id").as("b"), y.getField("aux").as("b_aux")))))
+    val smallPairs = small.where(col("pass") =!= PassWinnow)
+      .select(col("pass"), explode(pairsArr).as("p"))
+      .where(col("pass") =!= PassSimhash ||
+        bit_count(col("p.a_aux").bitwiseXOR(col("p.b_aux"))) <= cfg.simhashMaxHamming)
+      .select(col("pass"),
+        least(col("p.a"), col("p.b")).as("src"),
+        greatest(col("p.a"), col("p.b")).as("dst"))
+    val smallStars = small.where(col("pass") === PassWinnow)
+      .select(col("pass"), col("mn").as("src"), explode(col("members")).as("m"))
+      .where(col("m.doc_id") =!= col("src"))
+      .select(col("pass"), col("src"), col("m.doc_id").as("dst"))
+    val bigKeys = agg.where(col("sz") > cfg.smallCap)
+      .select("pass", "bucket_key", "mn", "mn_aux")
+    val bigStars = bucketedAux(sigs, cfg)
+      .join(bigKeys, Seq("pass", "bucket_key"))
       .where(col("doc_id") =!= col("mn"))
       .where(col("pass") =!= PassSimhash ||
         bit_count(col("aux").bitwiseXOR(col("mn_aux"))) <= cfg.simhashMaxHamming)
@@ -289,7 +307,8 @@ object DedupPipeline {
     // Dedup across buckets once; materialize because the per-pass split
     // below would otherwise recompute the whole generation per branch.
     // Pairs are ~20 bytes each — this is the small relation of the job.
-    val cand = Materialize(smallPairs.unionByName(starEdges).distinct())
+    val cand = Materialize(
+      smallPairs.unionByName(smallStars).unionByName(bigStars).distinct())
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (cfg.runMinhash)
       parts += verifyJaccard(cand.where(col("pass") === PassMinhash)

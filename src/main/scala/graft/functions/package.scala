@@ -40,6 +40,11 @@ package object functions {
       seed: Long = 42L): Column =
     column(BandKeysExpr(expression(sig), bands, rowsPerBand, seed))
 
+  /** Bounded per-bucket membership aggregate (see BoundedBucketAgg). */
+  def bounded_bucket(docId: Column, aux: Column, cap: Int): Column =
+    column(BoundedBucketAgg(expression(docId), expression(aux), cap)
+      .toAggregateExpression())
+
   def sign_lsh(vec: Column, nBits: Int = 16, nTables: Int = 8,
       seed: Long = 42L): Column =
     column(SignLshExpr(expression(vec), nBits, nTables, seed))
