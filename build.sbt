@@ -30,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the headline bench runs the full pipeline on a ~700k-page
+  // corpus (the BENCH/BASELINE.md corpus); 8g thrashes. A max, not a
+  // reservation — tests use a fraction of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // ParallelGC: this batch pipeline is allocation-heavy (tokenization);
   // measured 2.1x throughput and 0.84 (vs 0.57) 8->32-thread scaling over
   // the default G1 (graft.tools.MicroBench `threads` mode).

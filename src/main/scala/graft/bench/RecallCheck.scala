@@ -33,8 +33,10 @@ object RecallCheck {
         .write.mode("overwrite").parquet(corpusPath)
     }
     val pages = spark.read.parquet(corpusPath)
+    // narrow relations localCheckpoint (columnar cache is pathological for
+    // the wide shingle/fingerprint arrays in `joined` below)
     val clusters = DedupPipeline.clusters(pages, DedupConfig())
-      .select(col("url"), col("cluster_id")).cache()
+      .select(col("url"), col("cluster_id")).localCheckpoint(true)
     val truth = SyntheticCorpus.truth(spark, cfg)
 
     // Ground truth semantics: the planted `truth` table contains ALL
@@ -66,7 +68,8 @@ object RecallCheck {
       .withColumn("qualified",
         col("jaccard") >= dcfg.tau || col("hamming") <= dcfg.simhashMaxHamming)
       .withColumn("hit", (col("ca") === col("cb")).cast("int"))
-      .cache()
+      .select("kind", "qualified", "hit") // drop the wide arrays pre-materialize
+      .localCheckpoint(true)
 
     val q = joined.where(col("qualified"))
       .agg(count(lit(1)), sum("hit")).collect()(0)
@@ -82,7 +85,7 @@ object RecallCheck {
     val rows = byKind.map { r =>
       val qr = if (r.getLong(2) > 0) r.getLong(3).toDouble / r.getLong(2) else 1.0
       f"| ${r.getString(0)}%-11s | ${r.getLong(1)}%,d | ${r.getLong(2)}%,d | $qr%.4f | ${r.getLong(4).toDouble / r.getLong(1)}%.4f |"
-    }.mkString("\n")
+    }.mkString("\n|") // "\n|": keep row pipes under stripMargin
     val md =
       f"""
          |## Dup-pair recall vs ground truth ($nClusters%,d clusters)

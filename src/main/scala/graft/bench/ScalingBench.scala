@@ -141,9 +141,11 @@ object ScalingBench {
     val ceiling = median(kernelRatios.map(_._3))
     val normEff = eff / math.min(1.0, ceiling)
 
+    // rows joined with "\n|" so stripMargin's margin-strip leaves each
+    // row's leading table pipe intact
     val pairRows = pairs.zipWithIndex.map { case ((a, b), i) =>
       f"| ${i + 1} | $a%.2f | $b%.2f | ${a / b / 4.0}%.3f |"
-    }.mkString("\n")
+    }.mkString("\n|")
     val md =
       f"""# BENCH/BASELINE — measured throughput & scaling (this engine)
          |

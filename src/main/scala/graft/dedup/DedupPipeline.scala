@@ -52,6 +52,7 @@ final case class DedupConfig(
     winnowWindow: Int = 21,    // guarantee: shared run >= 60 tokens detected
     seed: Long = 42L,
     smallCap: Int = 16,        // exact-pair enumeration cap per bucket
+    broadcastOverCapKeys: Boolean = true, // see edgesRaw
     runMinhash: Boolean = true,
     runSimhash: Boolean = true,
     runWinnow: Boolean = true) {
@@ -296,8 +297,15 @@ object DedupPipeline {
       .select(col("pass"), col("mn").as("src"), explode(col("members")).as("m"))
       .where(col("m.doc_id") =!= col("src"))
       .select(col("pass"), col("src"), col("m.doc_id").as("dst"))
-    val bigKeys = agg.where(col("sz") > cfg.smallCap)
+    // Over-cap keys are mass-duplicate content classes — orders of magnitude
+    // fewer than docs (10M keys ≈ 300 MB broadcast) — but AQE cannot know
+    // the post-filter size and plans a sort-merge that shuffles the full
+    // recomputed bucket stream (measured ~1 GB at 699k docs), so broadcast
+    // explicitly; flip broadcastOverCapKeys off for adversarial corpora
+    // where over-cap bucket counts rival the corpus.
+    val bigKeys0 = agg.where(col("sz") > cfg.smallCap)
       .select("pass", "bucket_key", "mn", "mn_aux")
+    val bigKeys = if (cfg.broadcastOverCapKeys) broadcast(bigKeys0) else bigKeys0
     val bigStars = bucketedAux(sigs, cfg)
       .join(bigKeys, Seq("pass", "bucket_key"))
       .where(col("doc_id") =!= col("mn"))
