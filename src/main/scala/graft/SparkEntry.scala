@@ -49,6 +49,7 @@ object SparkEntry {
     // ~0.51 (no near-duplicate vectors planted), so the honest op default
     // (0.7) would be trivially empty here
     "q_ann_lsh" -> ((s, d) => TrainingOps.annLsh(s, d, tau = 0.3)),
+    "q_embed_ivf_topk" -> ((s, d) => TrainingOps.embedIvfTopK(s, d)),
     // text analysis
     "q_quality" -> ((s, d) => TrainingOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TrainingOps.tokenCount(s, d)),
@@ -160,6 +161,39 @@ object SparkEntry {
         |             ORDER BY cos DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_embed_ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        |               FROM embeddings WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(
+        |               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |probecells AS (
+        |  SELECT probe_id, pvec, cell FROM (
+        |    SELECT p.probe_id, p.pvec, c.cell,
+        |           row_number() OVER (PARTITION BY p.probe_id
+        |             ORDER BY round(list_cosine_similarity(p.pvec, c.cvec), 4) DESC,
+        |                      c.cell) AS crn
+        |    FROM probes p CROSS JOIN cents c)
+        |  WHERE crn <= 4),
+        |scored AS (
+        |  SELECT pc.probe_id, a.vec_id,
+        |         round(list_cosine_similarity(
+        |           CAST(e.embedding AS DOUBLE[]), pc.pvec), 4) AS cos
+        |  FROM probecells pc JOIN assign a USING (cell)
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  WHERE a.vec_id <> pc.probe_id)
+        |SELECT probe_id, vec_id, cos, rank FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
     "q_quality" ->
       s"""WITH toks AS (SELECT doc_id, term FROM ($POSTINGS_RAW) WHERE term <> '')
          |SELECT doc_id, count(*) AS n_tokens,

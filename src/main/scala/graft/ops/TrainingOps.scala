@@ -179,6 +179,56 @@ object TrainingOps {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) cell assignment: deterministic coarse centroids =
+    * the first `nCells` vectors (selection-only quantizer — deterministic
+    * and oracle-replicable; a production build would refine with a few
+    * Lloyd iterations, which changes the centroids, not the plan shape);
+    * every vector lands in its max-cosine cell. One broadcast join — the
+    * corpus never shuffles. */
+  def ivfAssign(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    e.join(broadcast(cents))
+      .withColumn("ccos", round(vec_cosine(col("embedding"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** IVF top-k: rank cells per probe, brute-force only inside the best
+    * `nprobeCells` cells — the classic recall/cost dial. At scale the probe
+    * side is broadcast and the search join is an equi-join on cell, so cost
+    * is O(n * nprobeCells / nCells) per probe instead of O(n). */
+  def embedIvfTopK(spark: SparkSession, dir: String, nCells: Int = 16,
+      nprobeCells: Int = 4, nProbes: Int = 5, k: Int = 3): DataFrame = {
+    val e = embeddings(spark, dir)
+    val assign = ivfAssign(spark, dir, nCells)
+    val cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val wCell = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("pcos", round(vec_cosine(col("pvec"), col("cvec")), 4))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobeCells)
+      .select("probe_id", "pvec", "cell")
+    val wK = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probeCells
+      .join(assign, "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .join(e, "vec_id")
+      .withColumn("cos", round(vec_cosine(col("embedding"), col("pvec")), 4))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select("probe_id", "vec_id", "cos", "rank")
+  }
+
   // ---- text analysis ----
 
   /** Language ID: character-trigram overlap against tiny per-language

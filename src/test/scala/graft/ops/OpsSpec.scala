@@ -78,6 +78,22 @@ class OpsSpec extends AnyFunSuite {
     assert(hit >= 36, s"planted near-dup recall $hit/40")
   }
 
+  test("IVF top-k with every cell probed equals brute-force top-k") {
+    val ivf = TrainingOps.embedIvfTopK(spark, dir, nCells = 8, nprobeCells = 8,
+      nProbes = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val bf = TrainingOps.embedTopK(spark, dir, nProbes = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF probing fewer cells returns a subset ranking with full k") {
+    val part = TrainingOps.embedIvfTopK(spark, dir, nCells = 8, nprobeCells = 2,
+      nProbes = 3, k = 5)
+    assert(part.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
+    assert(part.count() > 0)
+  }
+
   test("langId detects planted languages") {
     assert(LangId.predict("the cat and the dog are in the house that is red") == "en")
     assert(LangId.predict("der Hund und die Katze sind nicht in dem Haus") == "de")
