@@ -30,8 +30,11 @@ object NxsTokenizeExpr {
   // path allocation-free (the Spark analogue of the reference's reusable
   // filter contexts, /root/reference/src/core/filters.c:125-178).
   // `lang` comes from untrusted corpus data, so the cache is size-capped:
-  // past MAX_CACHED distinct keys (a dirty column with garbage cardinality),
-  // new configs are built per call instead of cached — slower, never OOM.
+  // when a dirty column's garbage cardinality fills it, the whole cache is
+  // cleared (a rare O(MAX_CACHED) event) and hot keys immediately re-enter —
+  // legitimate languages always end up cached, and the per-row read path
+  // stays a lock-free ConcurrentHashMap get (an access-ordered LRU would
+  // take a lock per row across all executor threads).
   private val MAX_CACHED = 256
   private val cfgCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), PipelineConfig]()
@@ -47,8 +50,10 @@ object NxsTokenizeExpr {
     val cfg = {
       val hit = cfgCache.get(key)
       if (hit != null) hit
-      else if (cfgCache.size < MAX_CACHED) cfgCache.computeIfAbsent(key, mkCfg)
-      else mkCfg(key)
+      else {
+        if (cfgCache.size >= MAX_CACHED) cfgCache.clear()
+        cfgCache.computeIfAbsent(key, mkCfg)
+      }
     }
     val toks = TextPipeline.tokens(text.toString, cfg)
     val out = new Array[Any](toks.length)
@@ -64,8 +69,9 @@ case class NxsTokenizeExpr(
     text: Expression, lang: Expression,
     filtersCsv: String = "normalizer,stopwords,stemmer",
     stopwords: Boolean = true)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(StringType, StringType)
   override def left: Expression = text
   override def right: Expression = lang
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -145,7 +151,8 @@ object ShingleHashesExpr {
 
 /** `nxs_shingles(tokens)` → array<bigint> — sorted distinct hashed w-shingles. */
 case class ShingleHashesExpr(child: Expression, w: Int, seed: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nxs_shingles"
 
@@ -161,23 +168,56 @@ case class ShingleHashesExpr(child: Expression, w: Int, seed: Long)
 }
 
 object MinHashSigExpr {
-  /** k-permutation MinHash signature over the shingle hash set.
-    * Permutation j remixes each shingle with XXH64(shingle, seed+j) and takes
-    * the min — standard one-hash-per-permutation MinHash (Broder 1997). */
+  /** k-permutation MinHash signature over the shingle hash set (Broder
+    * 1997). Permutation j is the multiply-add bijection of Z/2^64
+    * h_j(x) = a_j·x + b_j with odd a_j (an exact permutation of the 64-bit
+    * space — precisely the family MinHash wants), with (a_j, b_j) drawn
+    * from a splitmix64 stream of the seed. The shingles are already XXH64
+    * hashes, so no per-permutation rehash is needed: this replaces k full
+    * XXH64 rounds per shingle with one multiply+add each (~10× fewer ops in
+    * the signature stage, which dominates the dedup scan). Coefficients are
+    * interned per (k, seed) — loop-invariant per column. */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def coefs(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent((k, seed), { key =>
+      val (kk, s) = key
+      val a = new Array[Long](kk)
+      val b = new Array[Long](kk)
+      var j = 0
+      while (j < kk) {
+        a(j) = mix(s ^ (2L * j + 1)) | 1L // odd => bijective multiplier
+        b(j) = mix(s ^ (2L * j + 2))
+        j += 1
+      }
+      (a, b)
+    })
+
   def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val n = shingles.numElements()
     val sig = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      var min = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val h = XXH64.hashLong(shingles.getLong(i), seed + j)
-        if (h < min) min = h
-        i += 1
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val (as, bs) = coefs(k, seed)
+    // Shingle-outer loop: each shingle is read once and streamed through all
+    // k permutations while sig stays cache-resident.
+    var i = 0
+    while (i < n) {
+      val x = shingles.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = as(j) * x + bs(j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
       }
-      sig(j) = min
-      j += 1
+      i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
@@ -186,7 +226,8 @@ object MinHashSigExpr {
 /** `nxs_minhash(shingles)` → array<bigint> of length k. Empty shingle sets
   * produce the all-MaxValue signature (never matches a non-empty doc). */
 case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nxs_minhash"
 
@@ -226,7 +267,8 @@ object SimHash64Expr {
 
 /** `nxs_simhash(tokens)` → bigint (64-bit fingerprint). */
 case class SimHash64Expr(child: Expression, seed: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "nxs_simhash"
 
@@ -243,7 +285,10 @@ case class SimHash64Expr(child: Expression, seed: Long)
 
 object CosineSimExpr {
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_cosine: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -257,7 +302,9 @@ object CosineSimExpr {
 
 /** `vec_cosine(a, b)` → double, over array<float> embeddings. */
 case class CosineSimExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
 
@@ -300,7 +347,8 @@ object BandKeysExpr {
 
 /** `nxs_band_keys(sig)` → array<bigint> of length `bands`. */
 case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int,
-    seed: Long) extends UnaryExpression {
+    seed: Long) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nxs_band_keys"
 
@@ -357,7 +405,8 @@ object SignLshExpr {
 
 /** `sign_lsh(embedding)` → array<bigint> of nTables bucket keys. */
 case class SignLshExpr(child: Expression, nBits: Int, nTables: Int, seed: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_lsh"
 
@@ -404,15 +453,21 @@ object WinnowExpr {
       while (i < nGrams) { if (gh(i) <= min) min = gh(i); i += 1 }
       sel(0) = min; nSel = 1
     } else {
+      // Monotonic deque of indices: O(1) amortized per position instead of
+      // an O(win) rescan. Popping on >= keeps the RIGHTMOST of equal minima
+      // at the front — the same tie-break as the rescan form (and the MOSS
+      // paper's robust-winnowing rule).
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // deque occupies dq[head, tail)
       i = 0
-      while (i + win <= nGrams) {
-        var min = gh(i)
-        var j = i + 1
-        while (j < i + win) { if (gh(j) <= min) min = gh(j); j += 1 }
-        sel(i) = min
+      while (i < nGrams) {
+        while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - win) head += 1
+        if (i >= win - 1) { sel(i - win + 1) = gh(dq(head)); nSel += 1 }
         i += 1
       }
-      nSel = i
     }
     UnsafeArrayData.fromPrimitiveArray(
       ShingleHashesExpr.sortedDistinct(sel, nSel))
@@ -422,7 +477,8 @@ object WinnowExpr {
 /** `nxs_winnow(tokens)` → array<bigint> — winnowing fingerprints for the
   * exact-substring duplication pass. */
 case class WinnowExpr(child: Expression, a: Int, win: Int, seed: Long)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nxs_winnow"
 

@@ -11,6 +11,12 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` (the `inputTypes` element type of ExpectsInputTypes)
+    * is `private[sql]` in Spark 4; re-expose it so graft expressions can
+    * declare typed inputs and fail analysis instead of misreading bytes
+    * (e.g. sign_lsh over array<double>). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Release the block-manager blocks behind a `localCheckpoint`ed
     * DataFrame. Iterative algorithms (connected components) checkpoint per
     * round; without explicit release the superseded iterates accumulate
