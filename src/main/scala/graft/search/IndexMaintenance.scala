@@ -5,7 +5,13 @@ import org.apache.spark.sql.functions._
 
 /**
  * Index maintenance — the reference's mutation surface re-expressed as
- * relational operations over the SearchIndex relations:
+ * relational operations over the SearchIndex relations. These are in-memory
+ * VIEWS (fast path for a live session); the durable form — committed
+ * postings deltas, persisted term-id assignments, tombstone markers,
+ * replayed at open exactly like the reference's dtmap/terms re-sync — is
+ * `IndexStore.addDocs` / `IndexStore.removeDocs` / `IndexStore.openIndex`.
+ *
+ * Surface:
  *
  *  - document delete (S7): the reference tombstones a doc by zeroing its
  *    doc_id in place and appending a `(doc_id, 0)` marker, then decrementing
@@ -43,13 +49,16 @@ object IndexMaintenance {
       .groupBy("term")
       .agg(count(lit(1)).as("d_df"), sum("cnt").as("d_total"))
     // term_id is preserved: the reference never reuses or compacts ids on
-    // delete (terms stay interned, /root/reference/src/index/terms.c).
+    // delete (terms stay interned, /root/reference/src/index/terms.c) — so
+    // fully-deleted terms are KEPT as df=0 rows. A later re-add of the term
+    // then finds it already interned and keeps its id; queries on a df=0
+    // term return empty via the (absent) postings, exactly like the
+    // reference's still-interned-but-unreferenced term.
     val termStats = idx.termStats
       .join(broadcast(decrements), Seq("term"), "left")
       .select(col("term"), col("term_id"),
         (col("df") - coalesce(col("d_df"), lit(0L))).as("df"),
         (col("total") - coalesce(col("d_total"), lit(0L))).as("total"))
-      .where(col("df") > 0)
 
     val docStats = idx.docStats.join(tomb, Seq("doc_id"), "left_anti")
     val removed = idx.docStats.join(tomb, Seq("doc_id"), "left_semi")
@@ -76,12 +85,13 @@ object IndexMaintenance {
     // (/root/reference/src/index/terms.c:226-235).
     val maxId = idx.termStats.agg(coalesce(max("term_id"), lit(0L)))
       .collect()(0).getLong(0)
-    val newIdW = org.apache.spark.sql.expressions.Window.orderBy(col("delta_id"))
-    val newIds = delta.termStats
+    val newTerms = delta.termStats
       .join(idx.termStats.select("term"), Seq("term"), "left_anti")
       .select(col("term"), col("term_id").as("delta_id"))
-      .withColumn("new_id", lit(maxId) + row_number().over(newIdW))
-      .select("term", "new_id")
+    // Dense follow-on ids in the delta's own first-seen order, two-phase
+    // (no single-partition window — see SearchIndex.withDenseIds).
+    val newIds = SearchIndex.withDenseIds(newTerms, Seq("delta_id"), "rk", base = maxId)
+      .select(col("term"), (lit(maxId) + col("rk")).as("new_id"))
     val merged = idx.termStats
       .withColumnRenamed("term_id", "old_id")
       .join(delta.termStats

@@ -2,8 +2,10 @@ package graft.search
 
 import graft.tables.StageStore
 import graft.text.PipelineConfig
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /**
  * Durable search index — the reference's index lifecycle (append to
@@ -50,5 +52,143 @@ object IndexStore {
     val stats = statsDf.collect()(0)
     SearchIndex(postings.drop("first_pos"), docStats, termStats,
       stats.getLong(0), stats.getLong(1), cfg)
+  }
+
+  // ---- durable mutations ---------------------------------------------------
+  //
+  // The reference persists BOTH sides of its mutation surface: document
+  // delete appends a tombstone marker and zeroes the doc block in nxsdtmap.db
+  // (/root/reference/src/index/dtmap.c:546-655), add appends term/doc blocks
+  // (terms.c:155-314, dtmap.c:246-355), and every open re-syncs from the
+  // files. Relationally that is an append-only MUTATION LOG next to the base
+  // stage tables:
+  //
+  //   root/mutations/NNNN_add/postings   (doc_id, term, cnt, first_pos, _seq)
+  //   root/mutations/NNNN_add/term_ids   (term, term_id)  — new terms only
+  //   root/mutations/NNNN_remove/tombstones (doc_id, _seq)
+  //
+  // each directory committed by an atomically-moved MANIFEST marker (the
+  // same publish discipline as StageStore): a crash mid-write leaves an
+  // unmarked directory that the replay ignores and the next mutation with
+  // that sequence number overwrites. `openIndex` replays the log over the
+  // base tables; a postings generation is dead iff a LATER tombstone covers
+  // its doc (so delete → re-add of the same id works), and term ids are
+  // stable because new-term assignments are persisted at mutation time, not
+  // re-derived at open.
+
+  private def mutDir(root: String) = s"$root/mutations"
+
+  /** Committed mutations as (seq, kind, path), replay order. */
+  private def listMutations(root: String): Seq[(Int, String, String)] = {
+    val d = Paths.get(mutDir(root))
+    if (!Files.isDirectory(d)) return Nil
+    val items = Files.list(d).toArray.toSeq.map(_.toString)
+    items.flatMap { p =>
+      val name = Paths.get(p).getFileName.toString
+      name.split("_", 2) match {
+        case Array(seq, kind) if Files.exists(Paths.get(p, "MANIFEST")) =>
+          Some((seq.toInt, kind, p))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  private def nextSeq(root: String): Int =
+    (listMutations(root).map(_._1) :+ 0).max + 1
+
+  /** Write `tables` under an uncommitted mutation dir, then publish it with
+    * one atomic MANIFEST move. */
+  private def commitMutation(root: String, seq: Int, kind: String,
+      tables: Seq[(String, DataFrame)]): Unit = {
+    val dir = s"${mutDir(root)}/${f"$seq%04d"}_$kind"
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    }
+    val tmp = Paths.get(dir, "MANIFEST.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, s"""{"seq":$seq,"kind":"$kind"}""".getBytes)
+    Files.move(tmp, Paths.get(dir, "MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Open the index with the mutation log replayed — the durable analogue of
+    * the reference's open-time dtmap/terms sync. `docs` is only evaluated if
+    * the BASE stages are uncommitted (first build). Open-time cost is one
+    * anti-join of the postings against the (broadcast) tombstone set plus
+    * the doc/term stat aggregations over the live postings. */
+  def openIndex(docs: => DataFrame, cfg: PipelineConfig,
+      spark: SparkSession, root: String): SearchIndex = {
+    val base = buildOrOpen(docs, cfg, spark, root)
+    val muts = listMutations(root)
+    if (muts.isEmpty) return base
+
+    val basePostings = spark.read.parquet(s"$root/postings/data")
+      .withColumn("_seq", lit(0))
+    val addPostings = muts.collect { case (seq, "add", p) =>
+      spark.read.parquet(s"$p/postings").withColumn("_seq", lit(seq))
+    }
+    val tombs = muts.collect { case (seq, "remove", p) =>
+      spark.read.parquet(s"$p/tombstones").withColumn("_seq", lit(seq))
+    }
+    val postingsAll = (basePostings +: addPostings).reduce(_ unionByName _)
+    // A generation (doc_id, _seq=a) is dead iff some tombstone (doc_id, s)
+    // has s > a. Tombstone sets are tiny next to the corpus — broadcast.
+    val live =
+      if (tombs.isEmpty) postingsAll
+      else {
+        val t = tombs.reduce(_ unionByName _)
+          .select(col("doc_id").as("_t_doc"), col("_seq").as("_t_seq"))
+        postingsAll.join(broadcast(t),
+          col("doc_id") === col("_t_doc") && col("_t_seq") > col("_seq"),
+          "left_anti")
+      }
+    val docStats = live.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    // Interning: base dictionary ∪ persisted per-mutation new-term ids.
+    // df/total are recomputed from the live postings; fully-deleted terms
+    // stay interned at df=0 (reference semantics — ids never reused).
+    val interning = (base.termStats.select("term", "term_id") +:
+      muts.collect { case (_, "add", p) =>
+        spark.read.parquet(s"$p/term_ids").select("term", "term_id")
+      }).reduce(_ unionByName _)
+    val termAgg = live.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("cnt").as("total"))
+    val termStats = interning
+      .join(termAgg, Seq("term"), "left")
+      .select(col("term"), col("term_id"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("total"), lit(0L)).as("total"))
+    val c = docStats.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+    SearchIndex(live.drop("first_pos", "_seq"), docStats, termStats,
+      c.getLong(0), c.getLong(1), cfg)
+  }
+
+  /** Durable add: tokenizes `newDocs(doc_id, text)`, rejects ids that are
+    * currently live (nxs_index_add duplicate-id error, nxs.c:498-511),
+    * assigns the new terms their next dense ids, and COMMITS the postings
+    * delta + id assignments before returning the refreshed index. */
+  def addDocs(docs: => DataFrame, cfg: PipelineConfig, spark: SparkSession,
+      root: String, newDocs: DataFrame): SearchIndex = {
+    val cur = openIndex(docs, cfg, spark, root)
+    val fresh = newDocs.join(cur.docStats.select("doc_id"), Seq("doc_id"), "left_anti")
+    val deltaPost = SearchIndex.postingsOf(fresh, cfg)
+    val maxId = cur.termStats.agg(coalesce(max("term_id"), lit(0L)))
+      .collect()(0).getLong(0)
+    val newTerms = SearchIndex.termStatsOf(deltaPost)
+      .join(cur.termStats.select("term"), Seq("term"), "left_anti")
+      .select(col("term"), col("term_id").as("delta_id"))
+    val newIds = SearchIndex.withDenseIds(newTerms, Seq("delta_id"), "rk", base = maxId)
+      .select(col("term"), (lit(maxId) + col("rk")).as("term_id"))
+    commitMutation(root, nextSeq(root), "add",
+      Seq("postings" -> deltaPost, "term_ids" -> newIds))
+    openIndex(docs, cfg, spark, root)
+  }
+
+  /** Durable delete: commits the tombstone set (the reference's `(doc_id,0)`
+    * marker append, dtmap.c:546-655), then returns the refreshed index. */
+  def removeDocs(docs: => DataFrame, cfg: PipelineConfig, spark: SparkSession,
+      root: String, tombstones: DataFrame): SearchIndex = {
+    commitMutation(root, nextSeq(root), "remove",
+      Seq("tombstones" -> tombstones.select("doc_id").distinct()))
+    openIndex(docs, cfg, spark, root)
   }
 }

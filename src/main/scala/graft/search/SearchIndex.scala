@@ -34,12 +34,10 @@ object SearchIndex {
     * Term interning (reference A3, /root/reference/src/index/terms.c:226-235
     * assigns ids 1..N in insertion order): `term_id` is the dense first-seen
     * rank — ordered by (first doc containing the term, first position within
-    * that doc), the batch equivalent of the reference's sequential
-    * append order. The rank is a global row_number window: fine because the
-    * term DICTIONARY is orders of magnitude smaller than the corpus (and the
-    * reference itself caps ids at u32); if a corpus ever produced a
-    * dictionary too large for one partition, swap to a two-phase
-    * per-partition-offset rank. */
+    * that doc), the batch equivalent of the reference's sequential append
+    * order. The rank is two-phase (`withDenseIds`): range-partition by the
+    * first-seen key, rank locally, add per-partition offsets — a web-scale
+    * dictionary (billions of terms) never funnels through one partition. */
   def build(docs: DataFrame, cfg: PipelineConfig): SearchIndex = {
     val postings = postingsOf(docs, cfg).cache()
     val docStats = docStatsOf(postings).cache()
@@ -52,6 +50,18 @@ object SearchIndex {
       docCount, tokenCount, cfg)
   }
 
+  /** Reference term-length cap: UINT16_MAX bytes
+    * (/root/reference/src/index/terms.c:226-230 — exactly 65535 is legal,
+    * 65536 is NXS_ERR_LIMIT "term too long"). The reference errors the whole
+    * add; in a batch pipeline over untrusted web text the documented
+    * behavior here is DROP — an over-long "term" (e.g. a base64 blob that
+    * survived normalization) is discarded at the postings build, never
+    * interned, never counted in dl. */
+  val MaxTermBytes = 65535
+
+  /** Reference id width: term ids are u32 (terms.c:47 MAX_TERM_ID). */
+  val MaxTermId = 0xFFFFFFFFL
+
   /** Postings with the per-(doc, term) first occurrence position kept
     * (consumed by termStatsOf's interning, dropped from the public index). */
   def postingsOf(docs: DataFrame, cfg: PipelineConfig): DataFrame =
@@ -59,6 +69,7 @@ object SearchIndex {
       .select(col("doc_id"),
         posexplode(nxs_tokenize_filters(col("text"), lit(cfg.lang), cfg.filters,
           cfg.stopwordsEnabled)).as(Seq("pos", "term")))
+      .where(octet_length(col("term")) <= MaxTermBytes)
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("cnt"), min("pos").as("first_pos"))
 
@@ -66,13 +77,47 @@ object SearchIndex {
     postings.groupBy("doc_id").agg(sum("cnt").as("dl"))
 
   def termStatsOf(postings: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("first_seen.doc_id"), col("first_seen.first_pos"))
-    postings
+    val agg = postings
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("cnt").as("total"),
         min(struct(col("doc_id"), col("first_pos"))).as("first_seen"))
-      .withColumn("term_id", row_number().over(w).cast("long"))
+      .select(col("term"), col("df"), col("total"),
+        col("first_seen.doc_id").as("_fs_doc"),
+        col("first_seen.first_pos").as("_fs_pos"))
+    withDenseIds(agg, Seq("_fs_doc", "_fs_pos"), "term_id")
       .select("term", "term_id", "df", "total")
+  }
+
+  /** Dense ids 1..N in `sortCols` order WITHOUT a no-partition window (which
+    * moves the whole relation to one partition): range-partition by the sort
+    * key (so partition p's keys all precede partition p+1's), rank within
+    * each partition, then add per-partition offsets — the only driver-side
+    * data is one count per partition. The keys must be duplicate-free or the
+    * ordering is not total. The partitioned relation is materialized once so
+    * the offsets action and the ranked output see identical partitioning
+    * (range sampling is not re-run). */
+  private[graft] def withDenseIds(df: DataFrame, sortCols: Seq[String],
+      out: String, base: Long = 0L): DataFrame = {
+    val sortExprs = sortCols.map(col)
+    val parted = graft.dedup.Materialize(
+      df.repartitionByRange(sortExprs: _*).withColumn("_pid", spark_partition_id()))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
+      val e = pid -> acc; acc += n; e
+    }.toMap
+    // u32 id-width guard (terms.c:231-234 "reached the term limit") — the
+    // counts are already on the driver, so the check is free.
+    if (base + acc > MaxTermId)
+      throw new IllegalStateException(
+        s"reached the term limit ($MaxTermId): ${base + acc} ids requested")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sortExprs: _*)
+    parted
+      .withColumn(out,
+        (element_at(typedLit(offsets), col("_pid")) + row_number().over(w))
+          .cast("long"))
+      .drop("_pid")
   }
 }

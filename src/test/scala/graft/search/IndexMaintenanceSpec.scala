@@ -33,12 +33,32 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(searchIds(idx2, "cats") == Set(3L))
     assert(idx2.docCount == idx.docCount - 1)
     assert(idx2.tokenCount == idx.tokenCount - 3)
-    // term only present in the removed doc vanishes from the dictionary
-    assert(idx2.termStats.where("term = 'fish'").count() == 0)
+    // term only present in the removed doc STAYS INTERNED at df=0 — the
+    // reference never reuses or compacts term ids on delete (terms.c); a
+    // query on it just finds no postings
+    val fishBefore = idx.termStats.where("term = 'fish'")
+      .select("term_id").as[Long].collect().head
+    val fishRow = idx2.termStats.where("term = 'fish'")
+      .select("term_id", "df").as[(Long, Long)].collect()
+    assert(fishRow.toSeq == Seq((fishBefore, 0L)))
+    assert(searchIds(idx2, "fish") == Set.empty[Long])
     // shared term df decremented, not dropped
     val catRow = idx2.termStats.where("term = 'cat'")
       .select("df").as[Long].collect()
     assert(catRow.toSeq == Seq(1L))
+  }
+
+  test("fully-deleted term keeps its interned id across delete/re-add") {
+    val idx = build(base)
+    val fishId = idx.termStats.where("term = 'fish'")
+      .select("term_id").as[Long].collect().head
+    val removed = IndexMaintenance.remove(idx, Seq(1L).toDF("doc_id"))
+    val readded = IndexMaintenance.add(removed,
+      Seq(7L -> "fish swim").toDF("doc_id", "text"))
+    val after = readded.termStats.where("term = 'fish'")
+      .select("term_id", "df").as[(Long, Long)].collect()
+    assert(after.toSeq == Seq((fishId, 1L)))
+    assert(searchIds(readded, "fish") == Set(7L))
   }
 
   test("incremental add equals full rebuild; duplicate ids rejected") {

@@ -56,6 +56,71 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(idx3.termStats.count() > 0)
   }
 
+  test("durable add/remove survive restart (dtmap.c:546-655 tombstone + append)") {
+    val root = java.nio.file.Files.createTempDirectory("idxmut").toString
+    val cfg = TextPipeline.noStopwords
+    def ids(idx: SearchIndex, q: String): Set[Long] =
+      Searcher.search(idx, q).fold(e => fail(e),
+        _.select("doc_id").as[Long].collect().toSet)
+
+    val idx0 = IndexStore.openIndex(base.toDF("doc_id", "text"), cfg, spark, root)
+    assert(ids(idx0, "cats") == Set(1L, 3L))
+
+    // durable delete of doc 1, durable add of doc 9
+    IndexStore.removeDocs(base.toDF("doc_id", "text"), cfg, spark, root,
+      Seq(1L).toDF("doc_id"))
+    val idx1 = IndexStore.addDocs(base.toDF("doc_id", "text"), cfg, spark, root,
+      Seq(9L -> "cats chase fish").toDF("doc_id", "text"))
+    assert(ids(idx1, "cats") == Set(3L, 9L))
+    val s1 = Searcher.search(idx1, "cats AND fish").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    assert(s1.keySet == Set(9L))
+
+    // "restart": drop all session state, reopen with a docs thunk that must
+    // NOT be evaluated — the committed base stages + mutation log alone
+    // serve the mutated index.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val idx2 = IndexStore.openIndex(
+      { fail("docs must not be recomputed on reopen"); null }, cfg, spark, root)
+    assert(ids(idx2, "cats") == Set(3L, 9L))
+    val s2 = Searcher.search(idx2, "cats AND fish").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    assert(s2 == s1)
+    assert(idx2.docCount == idx1.docCount && idx2.tokenCount == idx1.tokenCount)
+
+    // delete -> re-add of the same doc id works (generation sequencing):
+    IndexStore.removeDocs(
+      { fail("no recompute"); null }, cfg, spark, root, Seq(9L).toDF("doc_id"))
+    val idx3 = IndexStore.addDocs(
+      { fail("no recompute"); null }, cfg, spark, root,
+      Seq(9L -> "dogs herd sheep").toDF("doc_id", "text"))
+    assert(ids(idx3, "dogs") == Set(2L, 3L, 9L))
+    assert(ids(idx3, "fish") == Set.empty[Long])
+    // fully-deleted term stays interned at df=0 (ids never reused)
+    val fish = idx3.termStats.where("term = 'fish'")
+      .select("df").as[Long].collect()
+    assert(fish.toSeq == Seq(0L))
+  }
+
+  test("reference limits: 65535-byte term kept, 65536 dropped (t_index_limits.c)") {
+    // the reference accepts a UINT16_MAX-byte token and errors on one byte
+    // more ("term too long (65536)", terms.c:226-230); the batch analogue
+    // drops the over-limit term at the postings build (documented on
+    // SearchIndex.MaxTermBytes)
+    val maxTerm = "a" * SearchIndex.MaxTermBytes
+    val tooBig = "b" * (SearchIndex.MaxTermBytes + 1)
+    val idx = SearchIndex.build(
+      Seq(1L -> s"$maxTerm $tooBig normal").toDF("doc_id", "text"),
+      TextPipeline.noStopwords)
+    val terms = idx.termStats.select("term").as[String].collect().toSet
+    assert(terms.contains(maxTerm))
+    assert(!terms.contains(tooBig))
+    assert(terms.contains("normal"))
+    // dropped term is not counted in dl either
+    assert(idx.tokenCount == 2L)
+  }
+
   test("syntax errors carry line:offset + context (query.c:47-58 format)") {
     val e1 = QueryParser.parse("a AND").left.getOrElse(fail("expected error"))
     assert(e1.matches("""syntax error near \d+:\d+: ".*""""), e1)
