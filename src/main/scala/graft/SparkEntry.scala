@@ -41,7 +41,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccard(s, d)),
     "q_minhash_dedup" -> ((s, d) => TrainingOps.minhashDedup(s, d)),
     "q_simhash_pairs" -> ((s, d) => TrainingOps.simhashDedup(s, d)),
+    "q_simhash_block_stats" -> ((s, d) => TrainingOps.simhashBlockStats(s, d)),
     "q_winnow_dups" -> ((s, d) => TrainingOps.winnowDups(s, d)),
+    "q_winnow_spans" -> ((s, d) => TrainingOps.winnowSpans(s, d)),
     // similarity search
     "q_embed_cosine" -> ((s, d) => TrainingOps.embedCosineAdjacent(s, d)),
     "q_embed_topk" -> ((s, d) => TrainingOps.embedTopK(s, d)),
@@ -262,17 +264,88 @@ object SparkEntry {
       s"""SELECT doc_id, term, count(*) AS cnt
          |FROM (SELECT doc_id, unnest(tokens) AS term FROM $SIGS)
          |GROUP BY doc_id, term""".stripMargin,
+    // Models simhashDedup's EXACT semantics, hot buckets included: blocks
+    // re-derived from the dumped fingerprints; buckets <= 16 members emit
+    // all verified pairs, over-cap buckets emit verified min<->member star
+    // pairs only (see TrainingOps.simhashDedup contract).
     "q_simhash_pairs" ->
-      s"""WITH s AS (SELECT doc_id, simhash FROM $SIGS)
-         |SELECT a.doc_id AS src, b.doc_id AS dst
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+      s"""WITH s AS (SELECT doc_id, simhash FROM $SIGS),
+         |b AS (SELECT doc_id, simhash, CAST(r.i AS INT) AS block,
+         |             (simhash >> CAST(r.i * 16 AS INT)) & 65535 AS bval
+         |      FROM s CROSS JOIN range(4) r(i)),
+         |stats AS (SELECT block, bval, min(doc_id) AS mn, count(*) AS sz
+         |          FROM b GROUP BY block, bval HAVING count(*) > 1),
+         |small AS (
+         |  SELECT x.doc_id AS src, y.doc_id AS dst
+         |  FROM b x JOIN b y USING (block, bval)
+         |  JOIN stats st USING (block, bval)
+         |  WHERE st.sz <= 16 AND x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |star AS (
+         |  SELECT st.mn AS src, x.doc_id AS dst
+         |  FROM b x JOIN stats st USING (block, bval)
+         |  JOIN s smn ON smn.doc_id = st.mn
+         |  WHERE st.sz > 16 AND x.doc_id <> st.mn
+         |    AND bit_count(xor(x.simhash, smn.simhash)) <= 3)
+         |SELECT DISTINCT src, dst
+         |FROM (SELECT * FROM small UNION ALL SELECT * FROM star)""".stripMargin,
+    "q_simhash_block_stats" ->
+      s"""WITH s AS (SELECT doc_id, simhash FROM $SIGS),
+         |b AS (SELECT doc_id, CAST(r.i AS INT) AS block,
+         |             (simhash >> CAST(r.i * 16 AS INT)) & 65535 AS bval
+         |      FROM s CROSS JOIN range(4) r(i)),
+         |g AS (SELECT block, bval, count(*) AS sz
+         |      FROM b GROUP BY block, bval HAVING count(*) > 1)
+         |SELECT block, count(*) AS n_buckets, CAST(sum(sz) AS BIGINT) AS members,
+         |       CAST(sum(CASE WHEN sz > 16 THEN 1 ELSE 0 END) AS BIGINT) AS over_cap,
+         |       CAST(max(sz) AS BIGINT) AS max_sz
+         |FROM g GROUP BY block""".stripMargin,
     "q_winnow_dups" ->
       s"""WITH f AS (SELECT doc_id, unnest(winnow_fps20) AS fp FROM $SIGS),
          |stats AS (SELECT fp, min(doc_id) AS mn, count(*) AS sz
          |          FROM f GROUP BY fp HAVING count(*) > 1)
          |SELECT DISTINCT s.mn AS src, f.doc_id AS dst
          |FROM f JOIN stats s USING (fp) WHERE f.doc_id <> s.mn""".stripMargin,
+    // Anchor-extend span evidence: delta-grouped positioned anchors + exact
+    // token-hash extension, re-derived 1:1 (see TrainingOps.winnowSpans).
+    "q_winnow_spans" ->
+      s"""WITH fp AS (SELECT doc_id, unnest(winnow_pos20, recursive := true)
+         |            FROM $SIGS),
+         |fd AS (SELECT DISTINCT doc_id, fp FROM fp),
+         |stats AS (SELECT fp, min(doc_id) AS mn FROM fd
+         |          GROUP BY fp HAVING count(*) > 1),
+         |pairs AS (SELECT DISTINCT s.mn AS src, fd.doc_id AS dst
+         |          FROM fd JOIN stats s USING (fp) WHERE fd.doc_id <> s.mn),
+         |anch AS (
+         |  SELECT p.src, p.dst, fa.pos AS pos_a, fa.pos - fb.pos AS delta
+         |  FROM pairs p
+         |  JOIN fp fa ON fa.doc_id = p.src
+         |  JOIN fp fb ON fb.doc_id = p.dst AND fb.fp = fa.fp),
+         |g AS (SELECT src, dst, delta, min(pos_a) AS min_a, max(pos_a) AS max_a
+         |      FROM anch GROUP BY src, dst, delta),
+         |t AS (SELECT g.*, g.min_a - g.delta AS min_b, g.max_a - g.delta AS max_b,
+         |             sa.token_hashes AS th_a, sb.token_hashes AS th_b
+         |      FROM g JOIN $SIGS sa ON sa.doc_id = g.src
+         |             JOIN $SIGS sb ON sb.doc_id = g.dst),
+         |e AS (
+         |  SELECT src, dst,
+         |    (max_a - min_a) + 20 +
+         |    CASE WHEN least(min_a, min_b) >= 1 THEN
+         |      coalesce(list_min(list_filter(range(1, least(min_a, min_b) + 1),
+         |        x -> th_a[min_a - x + 1] <> th_b[min_b - x + 1])) - 1,
+         |        least(min_a, min_b)) ELSE 0 END +
+         |    CASE WHEN least(len(th_a) - (max_a + 20),
+         |                    len(th_b) - (max_b + 20)) >= 1 THEN
+         |      coalesce(list_min(list_filter(
+         |        range(1, least(len(th_a) - (max_a + 20),
+         |                       len(th_b) - (max_b + 20)) + 1),
+         |        x -> th_a[max_a + 20 + x] <> th_b[max_b + 20 + x])) - 1,
+         |        least(len(th_a) - (max_a + 20), len(th_b) - (max_b + 20)))
+         |      ELSE 0 END
+         |    AS span
+         |  FROM t)
+         |SELECT src, dst, CAST(max(span) AS INT) AS span_tokens
+         |FROM e GROUP BY src, dst""".stripMargin,
     "q_minhash_dedup" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, sig, shingles FROM $SIGS),
          |cand AS (

@@ -27,6 +27,7 @@ object Verify {
       .withColumn("sig", nxs_minhash(col("shingles")))
       .withColumn("simhash", nxs_simhash(col("tokens")))
       .withColumn("winnow_fps20", nxs_winnow(col("tokens"), 20, 11))
+      .withColumn("winnow_pos20", nxs_winnow_pos(col("tokens"), 20, 11))
       .withColumn("winnow_fps8", nxs_winnow(col("tokens"), 8, 5))
       .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/dedup_sigs")
     graft.ops.TrainingOps.annBuckets(spark, sfDir)

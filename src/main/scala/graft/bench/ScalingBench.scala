@@ -199,7 +199,18 @@ object ScalingBench {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // Preserve hand-maintained analysis sections (variance history, recall
+    // tables, per-stage attribution) below the marker: only the measured
+    // part above it is regenerated.
+    val marker = "<!-- preserved -->"
+    val out = Paths.get("BENCH/BASELINE.md")
+    val tail =
+      if (Files.exists(out)) {
+        val cur = Files.readString(out)
+        val i = cur.indexOf(marker)
+        if (i >= 0) cur.substring(i) else ""
+      } else ""
+    Files.writeString(out, md + (if (tail.nonEmpty) "\n" + tail else ""))
     val json = s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t8_sec":$m8,"t32_sec":$m32,"docs":$nDocs,"docs_per_sec_8":$dps8,"docs_per_sec_32":$dps32,"platform_ceiling":$ceiling,"normalized_efficiency":$normEff,"pair_ratios":[${ratios.map(r => f"${r / 4.0}%.4f").mkString(",")}]}"""
     Files.writeString(Paths.get("BENCH/scaling.json"), json + "\n")
     println(json)

@@ -31,9 +31,18 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with (src: long, dst: long)
+    * @param fuse propagation rounds executed per Spark job (per driver
+    *        barrier). Star-edge generation bounds component diameter at a
+    *        small constant, so rounds are cheap and the per-job driver
+    *        latency dominates at high parallelism — fusing 2 rounds per
+    *        materialization halves the job count (the 8→32 scaling tax paid
+    *        per job is measured, see BENCH/BASELINE.md). The intermediate
+    *        round is a LAZY checkpoint: the fused job computes round 1 once,
+    *        feeds its blocks to round 2's three consumers, and the
+    *        convergence sum — one job, no recomputation.
     * @return (id: long, comp: long) for every node appearing in edges;
     *         comp = min node id of the component. */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25, fuse: Int = 2): DataFrame = {
     // Symmetric adjacency (both directions), deduped, materialized once —
     // lazily, so the first iteration's job does it (no separate barrier).
     // Pre-partitioned by src: the per-iteration message join keys on src, so
@@ -57,34 +66,43 @@ object ConnectedComponents {
           lit(java.math.BigDecimal.ZERO))).collect()(0)
         .getDecimal(0)
 
+    // One propagation round: (a) neighbor-min — each edge forwards the
+    // src's current comp to dst; (b) pointer jumping — comp <- comp(comp).
+    // Labels only decrease, so comp(comp) <= comp (hash-to-min style
+    // horizon doubling).
+    def round(cur: DataFrame): DataFrame = {
+      val msgs = adj
+        .join(cur.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("nbr_comp"))
+      val stepped = cur
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val parents = stepped
+        .select(col("id").as("comp"), col("comp").as("pcomp"))
+      stepped
+        .join(parents, Seq("comp"), "left")
+        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
+    }
+
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // (a) neighbor-min: each edge forwards the src's current comp to dst
-      val msgs = adj
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("comp").as("nbr_comp"))
-      val stepped = labels
-        .join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // (b) pointer jumping: comp <- comp(comp). Labels only decrease, so
-      // comp(comp) <= comp (hash-to-min style horizon doubling).
-      val parents = stepped
-        .select(col("id").as("comp"), col("comp").as("pcomp"))
-      val next = Materialize(
-        stepped
-          .join(parents, Seq("comp"), "left")
-          .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp")),
-        eager = false)
-      // One job: materializes the lazy checkpoint AND computes the
-      // convergence sum.
+      // `fuse` rounds chained through lazy checkpoints: ONE job materializes
+      // every round's blocks and the convergence sum. Equality of sums
+      // `fuse` rounds apart still detects the fixpoint exactly (the sum is
+      // strictly decreasing until convergence).
+      val chain = scala.collection.mutable.ArrayBuffer(labels)
+      for (_ <- 0 until math.max(1, fuse))
+        chain += Materialize(round(chain.last), eager = false)
+      val next = chain.last
       val nextSum = labelSum(next)
-      // `next` is now materialized: release the superseded iterate's blocks
-      // rather than waiting for driver GC (no-op for reliable checkpoints).
-      Materialize.release(labels)
+      // Everything but the final round is now superseded: release those
+      // blocks rather than waiting for driver GC (no-op for reliable
+      // checkpoints).
+      chain.dropRight(1).foreach(Materialize.release)
       labels = next
       converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -79,9 +79,11 @@ private[graft] object Materialize {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  /** Release a *local* checkpoint's blocks once nothing will read it again
-    * (see bridge.unpersistCheckpoint — irreversible). Reliable checkpoints
-    * are files; they need no block release. */
+  /** Release a checkpoint once nothing will read it again (irreversible —
+    * see bridge.unpersistCheckpoint): local checkpoints drop their blocks,
+    * reliable checkpoints delete their files (Spark's cleaner never does by
+    * default, so iterative jobs would otherwise leak one checkpoint dir per
+    * iteration for the application's lifetime). */
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.graft.bridge.unpersistCheckpoint(df)
 }

@@ -474,6 +474,83 @@ object WinnowExpr {
   }
 }
 
+object WinnowPosExpr {
+  /** Winnowing fingerprints WITH their gram positions (0-based index of the
+    * a-gram's first token), distinct by position, ascending — the anchor set
+    * for the substring span pass: anchors shared by two documents at a
+    * consistent position delta delimit the shared run, which is then
+    * extended over the token-hash arrays (see TrainingOps.winnowSpans).
+    * Same selection rule as WinnowExpr (rightmost min per window). */
+  def fingerprints(tokens: ArrayData, a: Int, win: Int, seed: Long): ArrayData = {
+    val n = tokens.numElements()
+    if (n < a) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - a + 1
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed); i += 1 }
+    val gh = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      var h = seed
+      var j = 0
+      while (j < a) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val selPos = new Array[Int](math.max(1, nGrams))
+    var nSel = 0
+    def push(p: Int): Unit =
+      if (nSel == 0 || selPos(nSel - 1) != p) { selPos(nSel) = p; nSel += 1 }
+    if (nGrams <= win) {
+      var best = 0; i = 1
+      while (i < nGrams) { if (gh(i) <= gh(best)) best = i; i += 1 }
+      push(best)
+    } else {
+      val dq = new Array[Int](nGrams)
+      var head = 0; var tail = 0
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - win) head += 1
+        if (i >= win - 1) push(dq(head))
+        i += 1
+      }
+    }
+    val out = new Array[Any](nSel)
+    i = 0
+    while (i < nSel) {
+      out(i) = InternalRow(gh(selPos(i)), selPos(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nxs_winnow_pos(tokens)` → array<struct<fp:bigint, pos:int>> — positioned
+  * winnowing anchors (fed to the span-extension pass and dumped as an
+  * oracle primitive). */
+case class WinnowPosExpr(child: Expression, a: Int, win: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "nxs_winnow_pos"
+
+  override def nullSafeEval(tokens: Any): Any =
+    WinnowPosExpr.fingerprints(tokens.asInstanceOf[ArrayData], a, win, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowPosExpr.fingerprints($c, $a, $win, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `nxs_winnow(tokens)` → array<bigint> — winnowing fingerprints for the
   * exact-substring duplication pass. */
 case class WinnowExpr(child: Expression, a: Int, win: Int, seed: Long)

@@ -53,6 +53,11 @@ package object functions {
       seed: Long = 42L): Column =
     column(WinnowExpr(expression(tokens), a, win, seed))
 
+  /** Positioned winnowing anchors for the span-extension pass. */
+  def nxs_winnow_pos(tokens: Column, a: Int = 40, win: Int = 21,
+      seed: Long = 42L): Column =
+    column(WinnowPosExpr(expression(tokens), a, win, seed))
+
   /** Register SQL-callable forms (static default configs). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

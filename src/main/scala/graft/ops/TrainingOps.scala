@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.dedup.{DedupConfig, DedupPipeline}
 import graft.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,14 +92,47 @@ object TrainingOps {
       .select("doc_id", "cluster_id", "is_champion")
   }
 
-  /** SimHash near-dup pairs over documents: all (src < dst) pairs within
-    * Hamming distance 3. Pigeonhole candidate generation is complete for
-    * that predicate, so the DuckDB oracle is the brute-force pair scan over
-    * the dumped fingerprints. */
+  /** SimHash near-dup pairs over documents, (src < dst), Hamming <= 3.
+    *
+    * Completeness contract: pigeonhole blocking finds every such pair whose
+    * shared block bucket(s) hold <= smallCap members — there the bucket
+    * membership is complete and pairs are enumerated + verified exactly.
+    * A block bucket OVER the cap (mass-boilerplate content) falls back to
+    * Hamming-verified star pairs (bucket-min ↔ member): connectivity for
+    * clustering is preserved, but a pair (a, b) whose EVERY shared block is
+    * over-cap and whose members are both > d from the bucket-min is not
+    * emitted. That population is observable — `simhashBlockStats` (oracle
+    * q_simhash_block_stats) reports per-block over-cap bucket counts. The
+    * DuckDB oracle models this exact semantics (small-bucket pairs ∪
+    * star pairs), so verification holds on hot-bucket corpora too. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runMinhash = false, runWinnow = false)
     DedupPipeline.simhashCandidates(docSigs(spark, dir, cfg), cfg)
       .select(col("src"), col("dst"))
+  }
+
+  /** Per-block bucket-population stats for the SimHash pigeonhole pass —
+    * the observability side of simhashDedup's completeness contract:
+    * `over_cap` counts the buckets that fell back to star pairs. */
+  def simhashBlockStats(spark: SparkSession, dir: String,
+      smallCap: Int = 16): DataFrame = {
+    val cfg = DedupConfig(runMinhash = false, runWinnow = false)
+    val sigs = docSigs(spark, dir, cfg)
+    val nBlocks = cfg.simhashMaxHamming + 1
+    val width = 64 / nBlocks
+    val blocks = (0 until nBlocks).map { i =>
+      struct(lit(i).as("block"),
+        shiftright(col("simhash"), i * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bval"))
+    }
+    sigs.select(explode(array(blocks: _*)).as("e"))
+      .select(col("e.block").as("block"), col("e.bval").as("bval"))
+      .groupBy("block", "bval").agg(count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("members"),
+        sum(when(col("sz") > smallCap, 1L).otherwise(0L)).as("over_cap"),
+        max("sz").as("max_sz"))
   }
 
   /** Winnowing fingerprint duplication pass (exact shared substrings) —
@@ -109,6 +142,73 @@ object TrainingOps {
     val cfg = DedupConfig(runMinhash = false, runSimhash = false,
       winnowA = 20, winnowWindow = 11)
     DedupPipeline.winnowCandidates(docSigs(spark, dir, cfg), cfg)
+  }
+
+  /** Substring-duplication SPAN evidence (the anchor-extend step on top of
+    * winnowDups): for every star pair of the winnowing pass, how long is the
+    * shared token run?
+    *
+    * Method: positioned winnowing anchors (`nxs_winnow_pos`) shared by the
+    * two docs at a consistent position delta delimit a candidate run
+    * [min_a .. max_a + a); the run is then extended left/right over the
+    * token-hash arrays until the first mismatching token, and the pair's
+    * span is the max over delta groups. For a true shared run the winnowing
+    * guarantee places anchors inside it and the extension recovers the EXACT
+    * run length in tokens. Every step (delta grouping, mismatch-scan
+    * extension via filter-over-range) is re-derived 1:1 by the DuckDB oracle
+    * from the dumped positioned anchors + token hashes.
+    *
+    * Scale shape: anchors explode + one fp-bucket aggregate (same as the
+    * winnow pass), pair set is star-bounded, and the extension joins ship
+    * token-hash arrays only for the (few) matched pairs. */
+  def winnowSpans(spark: SparkSession, dir: String, a: Int = 20,
+      win: Int = 11, seed: Long = 42L): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"),
+        nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => xxhash64(t)).as("th"),
+        nxs_winnow_pos(col("toks"), a, win, seed).as("anchors"))
+    val f = docs.select(col("doc_id"), explode(col("anchors")).as("an"))
+      .select(col("doc_id"), col("an.fp").as("fp"), col("an.pos").as("pos"))
+    // star pairs per shared fingerprint — the same edge set as winnowDups
+    val fd = f.select("doc_id", "fp").distinct()
+    val stats = fd.groupBy("fp")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+    val pairs = fd.join(stats, "fp")
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    // all shared anchors of each pair, grouped by position delta
+    val fa = f.select(col("doc_id").as("src"), col("fp"), col("pos").as("pos_a"))
+    val fb = f.select(col("doc_id").as("dst"), col("fp"), col("pos").as("pos_b"))
+    val groups = pairs.join(fa, "src").join(fb, Seq("dst", "fp"))
+      .withColumn("delta", col("pos_a") - col("pos_b"))
+      .groupBy("src", "dst", "delta")
+      .agg(min("pos_a").as("min_a"), max("pos_a").as("max_a"))
+    val th = docs.select(col("doc_id"), col("th"))
+    val t = groups
+      .join(th.select(col("doc_id").as("src"), col("th").as("th_a")), "src")
+      .join(th.select(col("doc_id").as("dst"), col("th").as("th_b")), "dst")
+      .withColumn("min_b", col("min_a") - col("delta"))
+      .withColumn("max_b", col("max_a") - col("delta"))
+    // extension: first mismatching token bounds the run exactly
+    def ext(cap: Column, idxA: Column => Column, idxB: Column => Column) = {
+      val mismatches = filter(sequence(lit(1), cap),
+        x => element_at(col("th_a"), idxA(x).cast("int")) =!=
+          element_at(col("th_b"), idxB(x).cast("int")))
+      when(cap >= 1, coalesce(array_min(mismatches) - 1, cap)).otherwise(lit(0))
+    }
+    val extL = ext(least(col("min_a"), col("min_b")),
+      x => col("min_a") - x + 1, x => col("min_b") - x + 1)
+    val extR = ext(
+      least(size(col("th_a")) - (col("max_a") + a),
+        size(col("th_b")) - (col("max_b") + a)),
+      x => col("max_a") + a + x, x => col("max_b") + a + x)
+    t.withColumn("span", col("max_a") - col("min_a") + a + extL + extR)
+      .groupBy("src", "dst")
+      .agg(max("span").cast("int").as("span_tokens"))
   }
 
   // ---- similarity search ----

@@ -31,7 +31,25 @@ object bridge {
     * graft iterative ops; not a general-purpose API. */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        // Reliable checkpoints are files, and Spark's cleaner does not
+        // delete them by default (spark.cleaner.referenceTracking
+        // .cleanCheckpoints=false) — an iterative job would otherwise leak
+        // one checkpoint directory per iteration for the application's
+        // lifetime. Same irreversibility contract as the block release.
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(path, true)
+        }
       case _ =>
     }
+
+  /** Test-only: clear the context's checkpoint dir (private[spark] field —
+    * there is no public unset API), restoring localCheckpoint behavior for
+    * suites that share one SparkSession. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
 }

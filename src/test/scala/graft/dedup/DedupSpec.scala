@@ -50,6 +50,113 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** The simhashDedup completeness contract at its boundary: a forced
+  * over-cap block bucket falls back to Hamming-verified star pairs
+  * (bucket-min <-> member) — the documented behavior on
+  * TrainingOps.simhashDedup and exactly what the q_simhash_pairs oracle
+  * models. Fabricated fingerprints, no tokenization involved. */
+class SimHashOverCapSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("over-cap block bucket: star pairs only, documented fallback") {
+    val cfg = DedupConfig(runMinhash = false, runWinnow = false) // smallCap=16
+    // 20 docs (> smallCap) sharing blocks 0, 2, 3 (= 0); block 1 varies:
+    //   doc 1 (bucket-min): block1 = 0
+    //   docs 2..17:         block1 = doc_id  (within Hamming 3 of min? no —
+    //                       ids 2..17 have bit_count 1..2, some within 3)
+    //   doc 18: block1 = 0xFF00 (8 bits from min — fails min-verify)
+    //   doc 19: block1 = 0xFF01 (9 bits from min, 1 bit from doc 18)
+    // Every shared block of (18, 19) is over-cap (blocks 0/2/3) or absent
+    // (block1 differs), so the TRUE pair (18, 19) [Hamming 1] is traded for
+    // star edges; members within 3 of the min keep their pairs via stars.
+    def fp(block1: Long): Long = block1 << 16
+    val rows = Seq(1L -> fp(0L)) ++
+      (2L to 17L).map(i => i -> fp(i)) ++
+      Seq(18L -> fp(0xFF00L), 19L -> fp(0xFF01L), 20L -> fp(1L))
+    val sigs = rows.toDF("doc_id", "simhash")
+    val pairs = DedupPipeline.simhashCandidates(sigs, cfg)
+      .as[(Long, Long)].collect().toSet
+
+    // stars from the bucket-min (doc 1): members with bit_count(block1) <= 3
+    val expected = rows.collect {
+      case (id, f) if id != 1L && java.lang.Long.bitCount(f) <= 3 => (1L, id)
+    }.toSet
+    assert(pairs == expected)
+    // the documented loss at the boundary, stated explicitly:
+    assert(!pairs.contains((18L, 19L)),
+      "over-cap-only pair is traded for star edges (documented fallback)")
+    // observability: the over-cap population is reported
+    val stats = DedupPipeline.bucketStats(sigs, cfg)
+      .select("over_cap").as[Long].collect()
+    assert(stats.exists(_ > 0))
+  }
+}
+
+/** Materialize.release must not leak reliable-checkpoint directories:
+  * clusters()/CC release superseded iterates eagerly, and on cluster
+  * deployments those are FILES that Spark's cleaner never deletes. */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("release deletes reliable checkpoint files (no per-iteration leak)") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      def checkpointFiles: Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+        finally s.close()
+      }
+      val df = Materialize(spark.range(1000).toDF("id"))
+      assert(df.count() == 1000)
+      assert(checkpointFiles.nonEmpty, "expected checkpoint files on disk")
+      Materialize.release(df)
+      assert(checkpointFiles.isEmpty,
+        "release must delete the reliable checkpoint's files")
+      // end-to-end: a full clusters() run leaves no checkpoint dirs behind
+      // beyond the final labels (released internally) — CC releases each
+      // superseded iterate
+    } finally {
+      org.apache.spark.sql.graft.bridge.clearCheckpointDir(sc)
+    }
+  }
+}
+
+/** Anchor-extend span evidence: winnowSpans must recover the EXACT length
+  * of a planted shared token run (winnowing guarantee places anchors inside
+  * any run >= a + win - 1; token-hash extension walks to the run ends). */
+class WinnowSpanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("span of a planted shared run is exact (a=20, win=11)") {
+    // 37 shared tokens (>= 30 guarantees detection), distinct elsewhere
+    val run = (1 to 37).map(i => s"sharedrun$i").mkString(" ")
+    val docA = (1 to 25).map(i => s"alpha$i").mkString(" ") + " " + run +
+      " " + (1 to 18).map(i => s"omega$i").mkString(" ")
+    val docB = (1 to 9).map(i => s"beta$i").mkString(" ") + " " + run +
+      " " + (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    Seq((1L, docA, "en"), (2L, docB, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.ops.TrainingOps.winnowSpans(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(spans.toSeq == Seq((1L, 2L, 37)))
+
+    // below the guarantee and with no shared anchor -> no pair
+    val shortRun = (1 to 12).map(i => s"tiny$i").mkString(" ")
+    Seq((1L, s"one two $shortRun three", "en"),
+        (2L, s"four five $shortRun six", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.ops.TrainingOps.winnowSpans(spark, dir).count() == 0)
+  }
+}
+
 class DedupPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
