@@ -69,6 +69,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
+    def benchDocs() = TrainingOps.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+      f.delete(): Unit
+    }
+    // One durable index build (untimed) that search_queries reopens per run.
+    val searchIdxRoot = Files.createTempDirectory("graft_bench_idx_base").toString
+    graft.search.IndexStore.buildOrOpen(
+      benchDocs(), TextPipeline.default, spark, searchIdxRoot)
+
     /** BASELINE protocol: 1 untimed warmup + median of `runs`, state cleared
       * between runs (CacheManager would otherwise serve the previous run's
       * identical plan and skip the compute entirely). */
@@ -94,11 +106,22 @@ object Bench {
             functions.nxs_tokenize(org.apache.spark.sql.functions.col("text"))))
           .count()),
       "minhash_dedup_docs" -> (() => TrainingOps.minhashDedup(spark, sfDir).count()),
-      "search_build_and_query" -> (() => {
-        val docs = TrainingOps.documents(spark, sfDir)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"))
-        val idx = SearchIndex.build(docs, TextPipeline.default)
+      // Production shape: build the DURABLE index once (index_build times
+      // the committed-stage build into a fresh root each run), query it
+      // many times (search_queries reopens the committed tables — no
+      // rebuild, no long-lived .cache()).
+      "index_build" -> (() => {
+        val root = Files.createTempDirectory("graft_bench_idx").toString
+        val idx = graft.search.IndexStore.buildOrOpen(
+          benchDocs(), TextPipeline.default, spark, root)
+        val n = idx.docCount
+        deleteRecursively(new java.io.File(root))
+        n
+      }),
+      "search_queries" -> (() => {
+        val idx = graft.search.IndexStore.buildOrOpen(
+          sys.error("committed index must not rebuild"), TextPipeline.default,
+          spark, searchIdxRoot)
         Seq("spark AND join", "hash OR merge", "scan AND NOT slow")
           .map(q => Searcher.search(idx, q).toOption.get.count()).sum
       }),

@@ -25,7 +25,15 @@ final case class SearchIndex(
     termStats: DataFrame,  // (term, term_id, df, total)
     docCount: Long,
     tokenCount: Long,
-    pipeline: PipelineConfig)
+    pipeline: PipelineConfig,
+    cached: Seq[DataFrame] = Nil) {
+
+  /** Release the `.cache()` blocks behind a `build()`-produced in-memory
+    * index view (the exact cached plans are retained here because
+    * `unpersist` on a derived projection would not match them). No-op for
+    * IndexStore-backed indexes — their relations are parquet reads. */
+  def unpersist(): Unit = cached.foreach(_.unpersist())
+}
 
 object SearchIndex {
 
@@ -47,7 +55,8 @@ object SearchIndex {
       (r.getLong(0), r.getLong(1))
     }
     SearchIndex(postings.drop("first_pos"), docStats, termStats,
-      docCount, tokenCount, cfg)
+      docCount, tokenCount, cfg,
+      cached = Seq(postings, docStats, termStats))
   }
 
   /** Reference term-length cap: UINT16_MAX bytes

@@ -23,6 +23,18 @@ final case class PipelineConfig(
 
 object TextPipeline {
 
+  /** LANGUAGE CONTRACT (mirrors the reference build): the pipeline is
+    * language-AWARE but ships resources for `en` only, exactly like the
+    * reference, whose default tree carries an English stopword list and
+    * builds libstemmer's English stemmer
+    * (/root/reference/src/core/filters_builtin.c:89, tools/
+    * fetch_ext_data.sh). For any other `lang` — including labels produced
+    * by graft.ops.LangId, which exist for routing/metrics, not to switch
+    * filters — stopwording is a pass-through (Stopwords.forLang) and
+    * stemming is skipped; tokenization + NFKC normalization remain fully
+    * Unicode. Adding a language = providing its stopword set in Stopwords
+    * and a stemmer branch here; ids/postings schemas are unaffected. */
+
   /** Run the filter pipeline on a single raw segment.
     * Returns None when any filter discards the token. */
   def filterToken(raw: String, cfg: PipelineConfig): Option[String] = {
