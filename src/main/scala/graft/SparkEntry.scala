@@ -40,6 +40,7 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccard(s, d)),
     "q_minhash_dedup" -> ((s, d) => TrainingOps.minhashDedup(s, d)),
+    "q_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_simhash_pairs" -> ((s, d) => TrainingOps.simhashDedup(s, d)),
     "q_simhash_block_stats" -> ((s, d) => TrainingOps.simhashBlockStats(s, d)),
     "q_winnow_dups" -> ((s, d) => TrainingOps.winnowDups(s, d)),
@@ -259,6 +260,38 @@ object SparkEntry {
     "fr" -> "'le','la','les','et','est','un','une','des','que','pour','dans','qui','pas','sur','avec'",
     "es" -> "'el','la','los','las','y','es','un','una','que','por','para','con','del','se','no'")
 
+  /** Band collisions (sig-slice equality), exact Jaccard, and connected
+    * components re-derived from dumped signatures — shared by the
+    * from-scratch (q_minhash_dedup) and incremental (q_incremental_dedup)
+    * cluster queries, which must agree value-for-value. */
+  private val MINHASH_CLUSTERS_SQL: String =
+    s"""WITH RECURSIVE s AS (SELECT doc_id, sig, shingles FROM $SIGS),
+         |cand AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst,
+         |         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         |         len(a.shingles) + len(b.shingles) AS tot
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE ($BAND_MATCH)),
+         |edges AS (
+         |  SELECT src, dst FROM cand
+         |  WHERE tot - inter > 0
+         |    AND CAST(inter AS DOUBLE) / (tot - inter) >= 0.85),
+         |und AS (SELECT src AS a, dst AS b FROM edges
+         |        UNION SELECT dst, src FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM s d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       row_number() OVER (PARTITION BY cluster_id
+         |                          ORDER BY CAST(doc_id AS VARCHAR)) = 1 AS is_champion
+         |FROM comp""".stripMargin
+
   def oracleSql2: Map[String, String] = Map(
     "q_nxs_postings" ->
       s"""SELECT doc_id, term, count(*) AS cnt
@@ -346,33 +379,10 @@ object SparkEntry {
          |  FROM t)
          |SELECT src, dst, CAST(max(span) AS INT) AS span_tokens
          |FROM e GROUP BY src, dst""".stripMargin,
-    "q_minhash_dedup" ->
-      s"""WITH RECURSIVE s AS (SELECT doc_id, sig, shingles FROM $SIGS),
-         |cand AS (
-         |  SELECT a.doc_id AS src, b.doc_id AS dst,
-         |         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         |         len(a.shingles) + len(b.shingles) AS tot
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE ($BAND_MATCH)),
-         |edges AS (
-         |  SELECT src, dst FROM cand
-         |  WHERE tot - inter > 0
-         |    AND CAST(inter AS DOUBLE) / (tot - inter) >= 0.85),
-         |und AS (SELECT src AS a, dst AS b FROM edges
-         |        UNION SELECT dst, src FROM edges),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |comp AS (
-         |  SELECT d.doc_id,
-         |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-         |  FROM s d LEFT JOIN reach r ON r.a = d.doc_id
-         |  GROUP BY d.doc_id)
-         |SELECT doc_id, cluster_id,
-         |       row_number() OVER (PARTITION BY cluster_id
-         |                          ORDER BY CAST(doc_id AS VARCHAR)) = 1 AS is_champion
-         |FROM comp""".stripMargin,
+    "q_minhash_dedup" -> MINHASH_CLUSTERS_SQL,
+    // Incremental ingest must land on the SAME clusters as the from-scratch
+    // run — one oracle serves both (see TrainingOps.incrementalDedup).
+    "q_incremental_dedup" -> MINHASH_CLUSTERS_SQL,
     "q_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, bucket_key FROM $ANN_BUCKETS),
          |stats AS (SELECT bucket_key, min(vec_id) AS mn, count(*) AS sz

@@ -91,9 +91,9 @@ private[graft] object Materialize {
 object DedupPipeline {
 
   /** Candidate-family tags in the unified bucketed relation. */
-  private val PassMinhash = 0
-  private val PassSimhash = 1
-  private val PassWinnow = 2
+  private[graft] val PassMinhash = 0
+  private[graft] val PassSimhash = 1
+  private[graft] val PassWinnow = 2
 
   /** Stage 1 — per-document signatures. One narrow projection stage; all
     * heavy lifting happens inside codegen'd expressions. Only the columns
@@ -103,11 +103,13 @@ object DedupPipeline {
     * (probability 2^-64) hash value 0. */
   def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = nxs_tokenize(col("text"), coalesce(col("lang"), lit("en")))
-    var df = pages
-      .where(col("text").isNotNull)
+    var df = pages.where(col("text").isNotNull)
+    // A caller-provided doc_id (a table's own primary key) is kept; absent
+    // one, doc_id = xxhash64(url) with the reference's non-zero invariant.
+    if (!pages.columns.contains("doc_id")) df = df
       .withColumn("doc_id",
         when(xxhash64(col("url")) === 0L, lit(1L)).otherwise(xxhash64(col("url"))))
-      .withColumn("tokens", tokens)
+    df = df.withColumn("tokens", tokens)
     if (cfg.runMinhash) df = df
       .withColumn("shingles", nxs_shingles(col("tokens"), cfg.shingleW, cfg.seed))
       .withColumn("sig", nxs_minhash(col("shingles"), cfg.minhashK, cfg.seed))

@@ -92,6 +92,28 @@ object TrainingOps {
       .select("doc_id", "cluster_id", "is_champion")
   }
 
+  /** Incremental (two-batch) MinHash dedup over documents: docs split by
+    * doc_id parity, ingested as two IncrementalDedup batches against a
+    * fresh store — the batch-ingest path whose clusters must equal the
+    * from-scratch recluster (and therefore the q_minhash_dedup oracle's
+    * value-exact re-derivation; equality is exact whenever no bucket is
+    * over-cap — see IncrementalDedup's monotonicity contract). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig(runSimhash = false, runWinnow = false)
+    val root = java.nio.file.Files.createTempDirectory("graft_incq").toString
+    val inc = new graft.dedup.IncrementalDedup(spark, root, cfg)
+    def pages(parity: Int) = documents(spark, dir)
+      .select(col("doc_id"),
+        col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        lit(null: Array[Byte]).as("html"), col("text"),
+        coalesce(col("lang"), lit("en")).as("lang"))
+      .where(pmod(col("doc_id"), lit(2)) === parity)
+    inc.addBatch("even", pages(0))
+    inc.addBatch("odd", pages(1))
+    inc.clusters().select("doc_id", "cluster_id", "is_champion")
+  }
+
   /** SimHash near-dup pairs over documents, (src < dst), Hamming <= 3.
     *
     * Completeness contract: pigeonhole blocking finds every such pair whose

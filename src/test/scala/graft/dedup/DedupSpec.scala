@@ -50,6 +50,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental ingest == from-scratch recluster (batch equivalence), plus
+  * resume semantics: a re-run of a committed batch reads, never recomputes. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("two-batch incremental clustering equals full recluster") {
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 200)).cache()
+    val full = DedupPipeline.clusters(corpus)
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+    val root = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val inc = new IncrementalDedup(spark, root)
+    // split by url hash parity — arbitrary, deterministic
+    val b1 = corpus.where(abs(xxhash64(col("url"))) % 2 === 0)
+    val b2 = corpus.where(abs(xxhash64(col("url"))) % 2 === 1)
+    inc.addBatch("day1", b1)
+    inc.addBatch("day2", b2)
+    val got = inc.clusters()
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == full)
+
+    // resume: re-running a committed batch must not recompute (thunk throws)
+    val again = inc.addBatch("day2", { fail("must not recompute"); null })
+    assert(again.count() > 0)
+    corpus.unpersist()
+  }
+}
+
 /** The simhashDedup completeness contract at its boundary: a forced
   * over-cap block bucket falls back to Hamming-verified star pairs
   * (bucket-min <-> member) — the documented behavior on
