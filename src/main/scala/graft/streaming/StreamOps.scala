@@ -38,6 +38,29 @@ object StreamOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming near-dup ingest: every micro-batch of pages is committed as
+    * one IncrementalDedup batch against the store at `root`. Exactly-once
+    * falls out of the two commit layers composing: Structured Streaming
+    * redelivers a micro-batch with the SAME batchId after a crash, and
+    * IncrementalDedup.addBatch is idempotent per batch id (its stages are
+    * fingerprint-committed — a redelivered batch resumes/reads instead of
+    * re-ingesting). Candidate generation per micro-batch touches only the
+    * buckets the new pages land in; clusters() on the store serves the
+    * continuously-updated labels. */
+  def dedupIngest(pages: DataFrame, root: String,
+      cfg: graft.dedup.DedupConfig = graft.dedup.DedupConfig(),
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pages.sparkSession
+    pages.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.dedup.IncrementalDedup(spark, root, cfg)
+          .addBatch(f"stream_$batchId%06d", batch): Unit
+      }
+      .start()
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -28,6 +28,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == distinctUrls, s"$got != $distinctUrls")
   }
 
+  test("streaming dedup ingest equals batch recluster (foreachBatch + stages)") {
+    import graft.dedup.{DedupConfig, DedupPipeline}
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 120)).cache()
+    val full = DedupPipeline.clusters(corpus)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toSet
+
+    // two parquet files -> (at least) two micro-batches via maxFilesPerTrigger
+    val srcDir = Files.createTempDirectory("graft_stream_dedup_src").toString
+    corpus.where(abs(xxhash64(col("url"))) % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    corpus.where(abs(xxhash64(col("url"))) % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val root = Files.createTempDirectory("graft_stream_dedup_store").toString
+    val ckpt = Files.createTempDirectory("graft_stream_dedup_ckpt").toString
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamOps.dedupIngest(stream, root, DedupConfig(),
+      checkpointDir = ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val inc = new graft.dedup.IncrementalDedup(spark, root)
+    assert(inc.batches().size >= 2, inc.batches().toString)
+    val got = inc.clusters().select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == full)
+    corpus.unpersist()
+  }
+
   test("windowed event counts with watermark match batch aggregation") {
     val dir = Files.createTempDirectory("graft_stream_events").toString
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
