@@ -30,22 +30,41 @@ object IndexStore {
   private def fp(cfg: PipelineConfig): String =
     s"lang=${cfg.lang}|filters=${cfg.filters.mkString(",")}|sw=${cfg.stopwordsEnabled}"
 
+  /** Compaction generation: base stages and the mutation log are scoped to
+    * the generation in the GENERATION file (absent = 0). `compact` writes
+    * the next generation's stages and atomically bumps the file — the
+    * single commit point; stale stages/mutations of older generations are
+    * invisible from then on and deleted best-effort. */
+  private def generation(root: String): Int = {
+    val p = Paths.get(root, "GENERATION")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 0
+  }
+
+  private def stageName(base: String, gen: Int): String =
+    if (gen == 0) base else s"$base@$gen"
+
   /** Build-or-resume the index under `root`. `docs` is only evaluated for
     * stages that are not already committed. */
   def buildOrOpen(docs: => org.apache.spark.sql.DataFrame, cfg: PipelineConfig,
-      spark: SparkSession, root: String): SearchIndex = {
+      spark: SparkSession, root: String): SearchIndex =
+    buildOrOpenGen(docs, cfg, spark, root, generation(root))
+
+  private def buildOrOpenGen(docs: => org.apache.spark.sql.DataFrame,
+      cfg: PipelineConfig, spark: SparkSession, root: String,
+      gen: Int): SearchIndex = {
     val store = new StageStore(spark, root)
     val f = fp(cfg)
-    val postings = store.runStage("postings", f) {
+    def n(b: String) = stageName(b, gen)
+    val postings = store.runStage(n("postings"), f) {
       SearchIndex.postingsOf(docs, cfg)
     }
-    val docStats = store.runStage("doc_stats", f, inputs = Seq("postings")) {
+    val docStats = store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
       SearchIndex.docStatsOf(postings)
     }
-    val termStats = store.runStage("term_stats", f, inputs = Seq("postings")) {
+    val termStats = store.runStage(n("term_stats"), f, inputs = Seq(n("postings"))) {
       SearchIndex.termStatsOf(postings)
     }
-    val statsDf = store.runStage("index_stats", f, inputs = Seq("doc_stats")) {
+    val statsDf = store.runStage(n("index_stats"), f, inputs = Seq(n("doc_stats"))) {
       docStats.agg(count(lit(1)).as("doc_count"),
         coalesce(sum("dl"), lit(0L)).as("token_count"))
     }
@@ -76,7 +95,7 @@ object IndexStore {
   // stable because new-term assignments are persisted at mutation time, not
   // re-derived at open.
 
-  private def mutDir(root: String) = s"$root/mutations"
+  private def mutDir(root: String) = s"$root/mutations/gen_${generation(root)}"
 
   /** Committed mutations as (seq, kind, path), replay order. */
   private def listMutations(root: String): Seq[(Int, String, String)] = {
@@ -117,12 +136,15 @@ object IndexStore {
     * anti-join of the postings against the (broadcast) tombstone set plus
     * the doc/term stat aggregations over the live postings. */
   def openIndex(docs: => DataFrame, cfg: PipelineConfig,
-      spark: SparkSession, root: String): SearchIndex = {
+      spark: SparkSession, root: String,
+      asCompactState: Boolean = false): SearchIndex = {
     val base = buildOrOpen(docs, cfg, spark, root)
     val muts = listMutations(root)
     if (muts.isEmpty) return base
 
-    val basePostings = spark.read.parquet(s"$root/postings/data")
+    val gen = generation(root)
+    val basePostings = spark.read
+      .parquet(s"$root/${stageName("postings", gen)}/data")
       .withColumn("_seq", lit(0))
     val addPostings = muts.collect { case (seq, "add", p) =>
       spark.read.parquet(s"$p/postings").withColumn("_seq", lit(seq))
@@ -158,8 +180,63 @@ object IndexStore {
         coalesce(col("df"), lit(0L)).as("df"),
         coalesce(col("total"), lit(0L)).as("total"))
     val c = docStats.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+    if (asCompactState)
+      return SearchIndex(live.drop("_seq"), docStats, termStats,
+        c.getLong(0), c.getLong(1), cfg)
     SearchIndex(live.drop("first_pos", "_seq"), docStats, termStats,
       c.getLong(0), c.getLong(1), cfg)
+  }
+
+  /** Fold the mutation log into fresh base stages — the analogue of the
+    * reference rewriting its db files rather than growing the append log
+    * forever. Writes the NEXT generation's four stages from the replayed
+    * live view (postings keep first_pos; term_stats keeps every interned
+    * id, df=0 rows included, so ids stay stable), then atomically publishes
+    * the GENERATION file — the single commit point. A crash before the
+    * bump leaves the old generation + mutation log fully intact (the new
+    * stages are invisible orphans, overwritten by the next compact); after
+    * the bump the fold is visible and the old generation's dirs are
+    * deleted best-effort. Open cost returns to a plain committed read. */
+  def compact(docs: => DataFrame, cfg: PipelineConfig,
+      spark: SparkSession, root: String): SearchIndex = {
+    val gen = generation(root)
+    if (listMutations(root).isEmpty)
+      return openIndex(docs, cfg, spark, root)
+    val state = openIndex(docs, cfg, spark, root, asCompactState = true)
+    val store = new StageStore(spark, root)
+    val f = fp(cfg)
+    val next = gen + 1
+    def n(b: String) = stageName(b, next)
+    // A compact that crashed before the GENERATION bump leaves committed
+    // orphan stages at gen+1 that may predate later mutations; they are
+    // invisible (gen never bumped), so delete them rather than letting the
+    // fingerprint check reuse a stale fold.
+    def rmDir(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rmDir)); p.delete(): Unit
+    }
+    Seq("postings", "doc_stats", "term_stats", "index_stats")
+      .foreach(b => rmDir(new java.io.File(s"$root/${n(b)}")))
+    store.runStage(n("postings"), f) { state.postings }
+    store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
+      state.docStats
+    }
+    store.runStage(n("term_stats"), f, inputs = Seq(n("postings"))) {
+      state.termStats
+    }
+    store.runStage(n("index_stats"), f, inputs = Seq(n("doc_stats"))) {
+      state.docStats.agg(count(lit(1)).as("doc_count"),
+        coalesce(sum("dl"), lit(0L)).as("token_count"))
+    }
+    // commit point
+    val tmp = Paths.get(root, "GENERATION.tmp")
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, Paths.get(root, "GENERATION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the superseded generation
+    rmDir(new java.io.File(s"$root/mutations/gen_$gen"))
+    Seq("postings", "doc_stats", "term_stats", "index_stats")
+      .foreach(b => rmDir(new java.io.File(s"$root/${stageName(b, gen)}")))
+    openIndex(docs, cfg, spark, root)
   }
 
   /** Durable add: tokenizes `newDocs(doc_id, text)`, rejects ids that are

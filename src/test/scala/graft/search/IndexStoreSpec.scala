@@ -101,6 +101,33 @@ class IndexStoreSpec extends AnyFunSuite {
     val fish = idx3.termStats.where("term = 'fish'")
       .select("df").as[Long].collect()
     assert(fish.toSeq == Seq(0L))
+
+    // compact: fold the log into fresh base stages; scores, counters, and
+    // interned ids unchanged; reopen reads the fold with no mutation log
+    val fishId = idx3.termStats.where("term = 'fish'")
+      .select("term_id").as[Long].collect().head
+    val dogScores = Searcher.search(idx3, "dogs").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    val idx4 = IndexStore.compact(
+      { fail("no recompute"); null }, cfg, spark, root)
+    val s4 = Searcher.search(idx4, "dogs").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    assert(s4 == dogScores)
+    assert(idx4.docCount == idx3.docCount && idx4.tokenCount == idx3.tokenCount)
+    assert(idx4.termStats.where("term = 'fish'")
+      .select("term_id", "df").as[(Long, Long)].collect().toSeq ==
+      Seq((fishId, 0L)))
+    // post-compact mutations keep working (ids continue past the fold)
+    val idx5 = IndexStore.addDocs(
+      { fail("no recompute"); null }, cfg, spark, root,
+      Seq(11L -> "fish and newword").toDF("doc_id", "text"))
+    assert(ids(idx5, "fish") == Set(11L))
+    assert(ids(idx5, "newword") == Set(11L))
+    val maxBefore = idx4.termStats.agg(org.apache.spark.sql.functions.max("term_id"))
+      .as[Long].collect().head
+    val newId = idx5.termStats.where("term = 'newword'")
+      .select("term_id").as[Long].collect().head
+    assert(newId > maxBefore)
   }
 
   test("reference limits: 65535-byte term kept, 65536 dropped (t_index_limits.c)") {
