@@ -39,6 +39,20 @@ object NxsTokenizeExpr {
   private val cfgCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), PipelineConfig]()
 
+  // Per-thread memo of the per-token filter pipeline: web-text token
+  // frequencies are Zipfian, so normalize→stopword→stem→UTF-8-re-encode for
+  // a RAW segment is recomputed thousands of times per partition for the
+  // same few thousand distinct tokens. The memo maps raw segment →
+  // (immutable, shareable) UTF8String of the filtered token, or DROPPED.
+  // Thread-local because executor threads each stream their own partition
+  // (no locking on the per-row path); bounded by clear-on-full like the
+  // config cache. Pure-function memoization — values are identical to the
+  // uncached pipeline by construction.
+  private val DROPPED = new Object
+  private val MAX_MEMO = 1 << 16
+  private val memo = ThreadLocal.withInitial(() =>
+    new java.util.HashMap[PipelineConfig, java.util.HashMap[String, AnyRef]]())
+
   /** Static entry used by both interpreted eval and codegen. */
   def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
       stopwords: Boolean): ArrayData = {
@@ -55,11 +69,33 @@ object NxsTokenizeExpr {
         cfgCache.computeIfAbsent(key, mkCfg)
       }
     }
-    val toks = TextPipeline.tokens(text.toString, cfg)
-    val out = new Array[Any](toks.length)
+    val segs = graft.text.Tokenizer.segments(text.toString, cfg.lang)
+    val m = {
+      val byCfg = memo.get()
+      var inner = byCfg.get(cfg)
+      if (inner == null) { inner = new java.util.HashMap[String, AnyRef](); byCfg.put(cfg, inner) }
+      inner
+    }
+    val out = new Array[Any](segs.length)
+    var n = 0
     var i = 0
-    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
-    new GenericArrayData(out)
+    while (i < segs.length) {
+      val seg = segs(i)
+      var v = m.get(seg)
+      if (v == null) {
+        v = TextPipeline.filterToken(seg, cfg) match {
+          case Some(t) => UTF8String.fromString(t)
+          case None => DROPPED
+        }
+        if (m.size >= MAX_MEMO) m.clear()
+        m.put(seg, v)
+      }
+      if (v ne DROPPED) { out(n) = v; n += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (n == out.length) out
+      else { val t = new Array[Any](n); System.arraycopy(out, 0, t, 0, n); t })
   }
 }
 
