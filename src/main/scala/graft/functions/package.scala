@@ -73,5 +73,13 @@ package object functions {
       es => SimHash64Expr(es.head, 42L), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       es => CosineSimExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("nxs_band_keys",
+      es => BandKeysExpr(es.head, 16, 8, 42L), "built-in")
+    reg.createOrReplaceTempFunction("nxs_winnow",
+      es => WinnowExpr(es.head, 40, 21, 42L), "built-in")
+    reg.createOrReplaceTempFunction("nxs_winnow_pos",
+      es => WinnowPosExpr(es.head, 40, 21, 42L), "built-in")
+    reg.createOrReplaceTempFunction("sign_lsh",
+      es => SignLshExpr(es.head, 16, 8, 42L), "built-in")
   }
 }

@@ -83,6 +83,14 @@ class ExpressionsSpec extends AnyFunSuite {
       "SELECT size(nxs_tokenize(text)) AS n, nxs_simhash(nxs_tokenize(text)) FROM t_expr_sql")
       .collect()(0).getInt(0)
     assert(n == 1) // 'some' and 'here' are NLTK stopwords
+    // full registration surface parses + evaluates
+    val r = spark.sql(
+      """SELECT size(nxs_band_keys(nxs_minhash(nxs_shingles(nxs_tokenize(text))))),
+        |       size(nxs_winnow(nxs_tokenize(text))),
+        |       size(nxs_winnow_pos(nxs_tokenize(text))),
+        |       size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))))
+        |FROM t_expr_sql""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 16 && r.getInt(3) == 8)
   }
 
   test("expressions stay in WholeStageCodegen") {
