@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed per-partition with batched "decoders".
  *
- * The actual media codecs are NOT available in this environment, so the
- * decode kernels are clearly-marked deterministic STUBS (parse of our own
- * fake header + hash-derived features). Everything around them — schema,
- * binary column handling, per-partition decoder lifecycle, batch iteration,
- * partitioning — is real and tested; swapping `StubCodec` for a JNI/FFI
- * codec is a drop-in change.
+ * Two tiers:
+ *  - REAL decoders for codec-free containers — 16-bit PCM WAV and
+ *    uncompressed 24-bit BMP (MediaCodecs): full byte-level parse, PCM
+ *    RMS/peak, pixel channel means, and a perceptual dHash whose pairs
+ *    feed the same Hamming-ball dedup machinery as text SimHash. Verified
+ *    in MultimodalSpec against the JDK's own independent decoders
+ *    (javax.sound.sampled, javax.imageio).
+ *  - STUB kernels for formats that need native codecs (JPEG/H.264/...):
+ *    clearly-marked deterministic stand-ins (StubCodec) behind real
+ *    schema/binary/per-partition-decoder plumbing; swapping in a JNI/FFI
+ *    codec is a drop-in change.
  *
  * Fake media layout (deterministic from doc_id):
  *   bytes[0..3]  magic "GIMG"
@@ -107,6 +112,81 @@ object MultimodalOps {
           MediaFeatures(id, codec.features(bytes, dim))
         }
       }
+  }
+
+  // ---- REAL decoders (no external codecs needed) ---------------------------
+  // WAV/PCM and uncompressed BMP are parsed for real (MediaCodecs), with the
+  // JDK's own independent decoders (javax.sound, ImageIO) as test oracles.
+
+  final case class WavRow(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_sec: Double, rms: Double, peak: Double)
+  final case class BmpRow(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Attach a deterministic synthetic WAV per row (16-bit PCM mono sine;
+    * frequency/amplitude derived from doc_id). */
+  def withSynthWav(df: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      val m = graft.corpus.SyntheticCorpus.mix(docId)
+      MediaCodecs.synthWav(docId, nFrames = 4000 + (m & 0xfff).toInt,
+        freqHz = 200.0 + (m >>> 32) % 2000,
+        amp = 0.2 + ((m >>> 12) & 0xff) / 512.0)
+    }
+    df.withColumn("audio", gen(col("doc_id")))
+  }
+
+  /** Attach a deterministic synthetic 24-bit BMP per row. */
+  def withSynthBmp(df: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      val m = graft.corpus.SyntheticCorpus.mix(docId + 7)
+      MediaCodecs.synthBmp(docId,
+        width = 16 + (m & 0x1f).toInt, height = 16 + ((m >>> 8) & 0x1f).toInt)
+    }
+    df.withColumn("image", gen(col("doc_id")))
+  }
+
+  /** REAL audio decode: RIFF chunk walk + one PCM pass for RMS/peak. */
+  def decodeWav(df: DataFrame): Dataset[WavRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = MediaCodecs.decodeWav(bytes)
+        WavRow(id, w.sampleRate, w.channels, w.bitsPerSample, w.nFrames,
+          w.durationSec, w.rms, w.peak)
+      })
+  }
+
+  /** REAL image decode: header + padded bottom-up pixel rows → channel means. */
+  def decodeBmp(df: DataFrame): Dataset[BmpRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = MediaCodecs.decodeBmp(bytes)
+        BmpRow(id, b.width, b.height, b.meanR, b.meanG, b.meanB)
+      })
+  }
+
+  /** 64-bit perceptual dHash per image (decode → 9×8 luma resample →
+    * gradient bits). */
+  def imageDHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, MediaCodecs.dhash(bytes)) })
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints fed through the SAME
+    * pigeonhole-block + Hamming-verify machinery as text SimHash (the
+    * fingerprint column is 64 bits either way) — multimodal dedup reuses
+    * the scale path unchanged. */
+  def imageNearDupPairs(df: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val cfg = graft.dedup.DedupConfig(runMinhash = false, runWinnow = false,
+      simhashMaxHamming = maxHamming)
+    graft.dedup.DedupPipeline.simhashCandidates(imageDHash(df), cfg)
   }
 
   /** Video-style frame sampling plumbing: emit n evenly spaced "frames"

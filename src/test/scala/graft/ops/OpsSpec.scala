@@ -145,6 +145,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV decode agrees with the JDK's javax.sound decoder (real codec)") {
+    val rows = MultimodalOps.decodeWav(
+      MultimodalOps.withSynthWav(
+        TrainingOps.documents(spark, dir).select("doc_id").limit(20))).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // independent oracle: the JDK's own WAV reader on the same bytes
+      val bytes = MediaCodecs.synthWav(r.doc_id,
+        nFrames = r.n_frames.toInt,
+        freqHz = 200.0 + (graft.corpus.SyntheticCorpus.mix(r.doc_id) >>> 32) % 2000,
+        amp = 0.2 + ((graft.corpus.SyntheticCorpus.mix(r.doc_id) >>> 12) & 0xff) / 512.0)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == r.sample_rate)
+      assert(fmt.getChannels == r.channels)
+      assert(fmt.getSampleSizeInBits == r.bits)
+      assert(ais.getFrameLength == r.n_frames)
+      // sine at amplitude A has RMS A/sqrt(2)
+      val amp = 0.2 + ((graft.corpus.SyntheticCorpus.mix(r.doc_id) >>> 12) & 0xff) / 512.0
+      assert(math.abs(r.rms - amp / math.sqrt(2)) < 0.01, s"rms ${r.rms} vs $amp")
+      assert(r.peak <= amp + 0.01 && r.peak > amp * 0.95)
+    }
+  }
+
+  test("BMP decode agrees with the JDK's ImageIO decoder (real codec)") {
+    val rows = MultimodalOps.decodeBmp(
+      MultimodalOps.withSynthBmp(
+        TrainingOps.documents(spark, dir).select("doc_id").limit(20))).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val m = graft.corpus.SyntheticCorpus.mix(r.doc_id + 7)
+      val bytes = MediaCodecs.synthBmp(r.doc_id,
+        width = 16 + (m & 0x1f).toInt, height = 16 + ((m >>> 8) & 0x1f).toInt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == r.width && img.getHeight == r.height)
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val n = img.getWidth.toDouble * img.getHeight
+      assert(math.abs(sr / n - r.mean_r) < 1e-9)
+      assert(math.abs(sg / n - r.mean_g) < 1e-9)
+      assert(math.abs(sb / n - r.mean_b) < 1e-9)
+    }
+  }
+
+  test("image near-dup: identical images pair up via dHash Hamming pass") {
+    // 10 distinct images, each duplicated under a second doc_id -> each
+    // duplicate pair is within Hamming 0 and must be found; distinct
+    // images are far apart with overwhelming probability
+    val imgs = (0L until 10L).flatMap { i =>
+      val bytes = MediaCodecs.synthBmp(i, 32, 24)
+      Seq((i, bytes), (i + 100L, bytes))
+    }
+    val df = imgs.toDF("doc_id", "image")
+    val pairs = MultimodalOps.imageNearDupPairs(df)
+      .as[(Long, Long)].collect().toSet
+    assert((0L until 10L).forall(i => pairs.contains((i, i + 100L))), pairs.toString)
+    // dHash sanity: equal bytes -> equal hash; different seeds -> different
+    val h0 = MediaCodecs.dhash(MediaCodecs.synthBmp(1, 32, 24))
+    assert(h0 == MediaCodecs.dhash(MediaCodecs.synthBmp(1, 32, 24)))
+    assert(h0 != MediaCodecs.dhash(MediaCodecs.synthBmp(2, 32, 24)))
+  }
+
   test("frameSample emits n frames per blob with increasing offsets") {
     val fr = MultimodalOps.frameSample(media, n = 4).collect()
     assert(fr.length == 50 * 4)
