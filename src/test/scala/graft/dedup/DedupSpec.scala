@@ -78,6 +78,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // resume: re-running a committed batch must not recompute (thunk throws)
     val again = inc.addBatch("day2", { fail("must not recompute"); null })
     assert(again.count() > 0)
+
+    // an all-duplicate batch (every doc_id already stored) is a no-op:
+    // clusters unchanged
+    inc.addBatch("day3", b1)
+    val after = inc.clusters()
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(after == full)
     corpus.unpersist()
   }
 }
