@@ -83,7 +83,19 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val prior = {
       val b = batches()
       if (b.contains(batchId)) b.takeWhile(_ != batchId)
-      else { appendBatch(batchId); b }
+      else {
+        // A batch whose ingest crashed mid-way is listed but has uncommitted
+        // stages; a NEW id on top of it would read missing tables. Fail with
+        // the resume instruction instead (re-running the crashed id resumes
+        // at its first uncommitted stage — the supported recovery path).
+        b.find(id => !Files.exists(
+            Paths.get(root, labelStage(id), "MANIFEST.json"))).foreach { bad =>
+          throw new IllegalStateException(
+            s"batch '$bad' is partially ingested — re-run addBatch(\"$bad\", ...) " +
+              "to resume it before ingesting new batches")
+        }
+        appendBatch(batchId); b
+      }
     }
     val priorSigStages = prior.map(sigStage)
     val sigsNew = store.runStage(sigStage(batchId), cfgFp,

@@ -79,6 +79,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val again = inc.addBatch("day2", { fail("must not recompute"); null })
     assert(again.count() > 0)
 
+    // crash recovery: a listed-but-uncommitted batch blocks NEW ids with a
+    // resume instruction (simulate by listing an id with no stages)
+    val batchesFile = java.nio.file.Paths.get(root, "BATCHES")
+    val orig = java.nio.file.Files.readString(batchesFile)
+    java.nio.file.Files.writeString(batchesFile, orig + "crashed\n")
+    val e = intercept[IllegalStateException] {
+      inc.addBatch("fresh", b1)
+    }
+    assert(e.getMessage.contains("crashed"))
+    java.nio.file.Files.writeString(batchesFile, orig)
+
     // an all-duplicate batch (every doc_id already stored) is a no-op:
     // clusters unchanged
     inc.addBatch("day3", b1)
