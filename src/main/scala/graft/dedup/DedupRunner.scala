@@ -51,4 +51,33 @@ object DedupRunner {
         .select("url", "doc_id", "cluster_id", "is_champion")
     }
   }
+
+  /** spark-submit entry point (north_rule: "run via spark-submit on a
+    * multi-executor cluster"):
+    *
+    *   spark-submit --class graft.dedup.DedupRunner nxsearchspark.jar \
+    *     <pages_parquet> <out_parquet> <stage_root> [incremental_batch_id]
+    *
+    * Reads pages(url, warc_ts, html, text, lang), writes clusters(url,
+    * doc_id, cluster_id, is_champion). All session sizing (master, executor
+    * count/memory, shuffle partitions, AQE, checkpoint dir) comes from
+    * spark-submit conf — the code only declares the plan. With a 4th
+    * argument the input is ingested as one IncrementalDedup batch against
+    * the store at `<stage_root>/incremental` instead of a from-scratch
+    * recluster. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: DedupRunner <pages_parquet> <out_parquet> <stage_root> [batch_id]")
+    val Array(in, out, root) = args.take(3)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-dedup").getOrCreate()
+    val clusters =
+      if (args.length >= 4) {
+        val inc = new IncrementalDedup(spark, s"$root/incremental")
+        inc.addBatch(args(3), spark.read.parquet(in))
+        inc.clusters()
+      } else run(spark.read.parquet(in), DedupConfig(), root)
+    clusters.write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
 }

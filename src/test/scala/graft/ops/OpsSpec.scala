@@ -120,6 +120,33 @@ class OpsSpec extends AnyFunSuite {
   }
 }
 
+/** The plans the 100 TB design depends on: parquet scans must prune to the
+  * projected columns and push comparison filters into the source. */
+class ScanPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("parquet scan pushes filters and prunes columns") {
+    import org.apache.spark.sql.functions._
+    val df = TrainingOps.documents(spark, dir)
+      .where(col("doc_id") > 100)
+      .select("doc_id", "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(doc_id,100)"), plan)
+    // ReadSchema must NOT include the wide text column
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("n_chars") &&
+      !read.contains("text"), read)
+  }
+
+  test("dimension joins in nationRevenue broadcast, facts do not") {
+    val plan = RelationalOps.nationRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
