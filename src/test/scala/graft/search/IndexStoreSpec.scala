@@ -130,6 +130,53 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(newId > maxBefore)
   }
 
+  test("stress: 12 mutation generations + compact equal a fresh build " +
+    "(t_stress_terms/t_stress_dtmap analogue)") {
+    val root = java.nio.file.Files.createTempDirectory("idxstress").toString
+    val cfg = TextPipeline.noStopwords
+    def docText(i: Long) = s"word${i % 7} common${i % 3} unique$i tail${i % 5}"
+    var live = (1L to 20L).map(i => i -> docText(i)).toMap
+    IndexStore.openIndex(live.toSeq.toDF("doc_id", "text"), cfg, spark, root)
+
+    var nextId = 21L
+    val rnd = new scala.util.Random(11)
+    for (gen <- 1 to 12) {
+      if (gen % 3 == 0) {
+        // remove a random live doc
+        val victim = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
+        IndexStore.removeDocs({ fail("no recompute"); null }, cfg, spark, root,
+          Seq(victim).toDF("doc_id"))
+        live -= victim
+      } else {
+        val adds = (0 until 2).map { _ =>
+          val id = nextId; nextId += 1; id -> docText(id)
+        }
+        IndexStore.addDocs({ fail("no recompute"); null }, cfg, spark, root,
+          adds.toDF("doc_id", "text"))
+        live ++= adds
+      }
+    }
+    def scores(idx: SearchIndex, q: String): Map[Long, Double] =
+      Searcher.search(idx, q).fold(e => fail(e),
+        _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    val mutated = IndexStore.openIndex({ fail("no recompute"); null },
+      cfg, spark, root)
+    val fresh = SearchIndex.build(live.toSeq.toDF("doc_id", "text"), cfg)
+    assert(mutated.docCount == fresh.docCount)
+    assert(mutated.tokenCount == fresh.tokenCount)
+    val queries = Seq("word1", "common2 AND word3", "unique25", "tail4 OR word0")
+    queries.foreach { q => assert(scores(mutated, q) == scores(fresh, q), q) }
+
+    // fold everything, reopen, same answers from the compacted generation
+    val compacted = IndexStore.compact({ fail("no recompute"); null },
+      cfg, spark, root)
+    queries.foreach { q => assert(scores(compacted, q) == scores(fresh, q), q) }
+    val reopened = IndexStore.openIndex({ fail("no recompute"); null },
+      cfg, spark, root)
+    assert(reopened.docCount == fresh.docCount)
+    fresh.unpersist()
+  }
+
   test("reference limits: 65535-byte term kept, 65536 dropped (t_index_limits.c)") {
     // the reference accepts a UINT16_MAX-byte token and errors on one byte
     // more ("term too long (65536)", terms.c:226-230); the batch analogue
