@@ -7,9 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `queries` spans the engine surface: the reference's index/query math
   * (postings, term/doc stats, TF-IDF, BM25, boolean algebra, top-k), the
-  * dedup family (exact, MinHash/LSH, SimHash, n-gram Jaccard, winnowing),
-  * similarity search (brute-force + LSH ANN), text analysis (lang-id,
-  * quality, token counts, fingerprints), and event windowing/sessionization.
+  * dedup family (exact, MinHash/LSH batch AND incremental, SimHash with the
+  * exact over-cap star model + its block-stats observability, n-gram
+  * Jaccard, winnowing star edges + anchor-extended span evidence),
+  * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
+  * (lang-id, quality, token counts, fingerprints), and event
+  * windowing/sessionization — 28 queries, each with a DuckDB oracle.
   * Every query has a DuckDB oracle in `oracleSql` with matching column
   * names. Queries whose math is directly SQL-expressible are recomputed from
   * the input tables; the signature-based ones (minhash/simhash/winnow/ann/
