@@ -86,23 +86,44 @@ object ConnectedComponents {
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
     }
 
+    // Intermediate fused rounds must be SHARED by round 2's consumers for
+    // the fusion to halve work. localCheckpoint(eager=false) does that (the
+    // fused job materializes the blocks); Dataset.checkpoint(eager=false)
+    // does NOT — with a reliable checkpoint dir Spark checkpoints only the
+    // LAST marked RDD per job (checkpointAllMarkedAncestors defaults false),
+    // so a marked intermediate is neither persisted nor checkpointed and
+    // each consumer would recompute round 1. On clusters, persist()
+    // intermediates instead and only reliably checkpoint the final round of
+    // each fused job (which is all lineage truncation needs).
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def midMaterialize(df: DataFrame): DataFrame =
+      if (reliable) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else Materialize(df, eager = false)
+    def midRelease(df: DataFrame): Unit =
+      if (reliable) { df.unpersist(); () } else Materialize.release(df)
+
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // `fuse` rounds chained through lazy checkpoints: ONE job materializes
-      // every round's blocks and the convergence sum. Equality of sums
-      // `fuse` rounds apart still detects the fixpoint exactly (the sum is
-      // strictly decreasing until convergence).
-      val chain = scala.collection.mutable.ArrayBuffer(labels)
-      for (_ <- 0 until math.max(1, fuse))
-        chain += Materialize(round(chain.last), eager = false)
-      val next = chain.last
+      // `fuse` rounds chained through lazily-materialized intermediates: ONE
+      // job materializes every round's blocks and the convergence sum.
+      // Equality of sums `fuse` rounds apart still detects the fixpoint
+      // exactly (the sum is strictly decreasing until convergence).
+      val nRounds = math.max(1, fuse)
+      val mids = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var cur = labels
+      for (r <- 1 to nRounds) {
+        cur =
+          if (r < nRounds) { val m = midMaterialize(round(cur)); mids += m; m }
+          else Materialize(round(cur), eager = false)
+      }
+      val next = cur
       val nextSum = labelSum(next)
-      // Everything but the final round is now superseded: release those
-      // blocks rather than waiting for driver GC (no-op for reliable
-      // checkpoints).
-      chain.dropRight(1).foreach(Materialize.release)
+      // Superseded blocks: the previous iterate and this job's intermediate
+      // rounds. Released eagerly rather than waiting for driver GC.
+      Materialize.release(labels)
+      mids.foreach(midRelease)
       labels = next
       converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -46,10 +46,17 @@ object NxsTokenizeExpr {
   // (immutable, shareable) UTF8String of the filtered token, or DROPPED.
   // Thread-local because executor threads each stream their own partition
   // (no locking on the per-row path); bounded by clear-on-full like the
-  // config cache. Pure-function memoization — values are identical to the
-  // uncached pipeline by construction.
+  // config cache — BOTH levels: the inner per-config maps (MAX_MEMO entries)
+  // AND the outer per-config keying (MAX_MEMO_CFGS), because `lang` is
+  // untrusted corpus data and each garbage value mints a new PipelineConfig;
+  // without the outer bound every executor thread would accumulate one
+  // (small but never-freed) map per distinct garbage lang for the JVM's
+  // lifetime. Clearing on full keeps the 'slower, never OOM' guarantee; hot
+  // configs re-enter on their next row. Pure-function memoization — values
+  // are identical to the uncached pipeline by construction.
   private val DROPPED = new Object
   private val MAX_MEMO = 1 << 16
+  private val MAX_MEMO_CFGS = 64
   private val memo = ThreadLocal.withInitial(() =>
     new java.util.HashMap[PipelineConfig, java.util.HashMap[String, AnyRef]]())
 
@@ -73,7 +80,11 @@ object NxsTokenizeExpr {
     val m = {
       val byCfg = memo.get()
       var inner = byCfg.get(cfg)
-      if (inner == null) { inner = new java.util.HashMap[String, AnyRef](); byCfg.put(cfg, inner) }
+      if (inner == null) {
+        if (byCfg.size >= MAX_MEMO_CFGS) byCfg.clear()
+        inner = new java.util.HashMap[String, AnyRef]()
+        byCfg.put(cfg, inner)
+      }
       inner
     }
     val out = new Array[Any](segs.length)
@@ -320,11 +331,13 @@ case class SimHash64Expr(child: Expression, seed: Long)
 }
 
 object CosineSimExpr {
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  /** Returns null (boxed) on a per-row dimension mismatch: embeddings come
+    * from untrusted corpora, and one ragged row must degrade to null (which
+    * every consumer filters/sorts away) rather than abort a full pipeline
+    * run. Same-dimension rows return the boxed cosine. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"vec_cosine: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -332,24 +345,44 @@ object CosineSimExpr {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    java.lang.Double.valueOf(
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb))
   }
 }
 
-/** `vec_cosine(a, b)` → double, over array<float> embeddings. */
+/** `vec_cosine(a, b)` → double, over array<float> embeddings; null when the
+  * two arrays' dimensions differ (ragged rows degrade, they don't kill the
+  * job). */
 case class CosineSimExpr(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimExpr.cosine($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cos")
+    ev.copy(code =
+      code"""
+        ${aGen.code}
+        ${bGen.code}
+        boolean ${ev.isNull} = ${aGen.isNull} || ${bGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          java.lang.Double $boxed =
+            graft.functions.CosineSimExpr.cosine(${aGen.value}, ${bGen.value});
+          if ($boxed == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $boxed.doubleValue(); }
+        }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -413,21 +446,56 @@ object SignLshExpr {
     z ^ (z >>> 31)
   }
 
+  // The ±1 weights are loop-invariant per column (they depend only on the
+  // expression parameters + the vector dimension), so they are interned the
+  // same way as MinHashSigExpr.coefs — the old code re-derived them with
+  // nTables × nBits × dim splitmix mixes PER ROW (~8k mixes/row at
+  // defaults): pure waste at a billion vectors. One byte per weight,
+  // flattened [table][bit][dim]; values are bit-identical to the per-row
+  // derivation (same mix chain), so bucket keys are unchanged.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int), Array[Byte]]()
+
+  private def planes(nBits: Int, nTables: Int, seed: Long, dim: Int): Array[Byte] = {
+    // `dim` is untrusted (ragged rows): clear-on-full bound like cfgCache.
+    if (planeCache.size > 16) planeCache.clear()
+    planeCache.computeIfAbsent((nBits, nTables, seed, dim), { key =>
+      val (bits, tables, s, d0) = key
+      val w = new Array[Byte](tables * bits * d0)
+      var t = 0
+      var o = 0
+      while (t < tables) {
+        var h = 0
+        while (h < bits) {
+          val planeSeed = mix(s ^ (t.toLong << 32) ^ h.toLong)
+          var d = 0
+          while (d < d0) {
+            w(o) = if (mix(planeSeed ^ d.toLong) > 0) 1 else -1
+            o += 1; d += 1
+          }
+          h += 1
+        }
+        t += 1
+      }
+      w
+    })
+  }
+
   def buckets(vec: ArrayData, nBits: Int, nTables: Int, seed: Long): ArrayData = {
     val dim = vec.numElements()
+    val w = planes(nBits, nTables, seed, dim)
     val out = new Array[Long](nTables)
     var t = 0
+    var o = 0
     while (t < nTables) {
       var sketch = 0L
       var h = 0
       while (h < nBits) {
-        val planeSeed = mix(seed ^ (t.toLong << 32) ^ h.toLong)
         var dot = 0.0
         var d = 0
         while (d < dim) {
-          val w = if (mix(planeSeed ^ d.toLong) > 0) 1.0 else -1.0
-          dot += w * vec.getFloat(d)
-          d += 1
+          dot += w(o) * vec.getFloat(d)
+          o += 1; d += 1
         }
         if (dot >= 0) sketch |= (1L << h)
         h += 1

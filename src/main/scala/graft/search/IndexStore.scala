@@ -101,7 +101,11 @@ object IndexStore {
   private def listMutations(root: String): Seq[(Int, String, String)] = {
     val d = Paths.get(mutDir(root))
     if (!Files.isDirectory(d)) return Nil
-    val items = Files.list(d).toArray.toSeq.map(_.toString)
+    // Files.list holds a directory fd until closed — this runs on every
+    // openIndex/addDocs/removeDocs, so a leak here exhausts fds in a
+    // long-running driver.
+    val s = Files.list(d)
+    val items = try s.toArray.toSeq.map(_.toString) finally s.close()
     items.flatMap { p =>
       val name = Paths.get(p).getFileName.toString
       name.split("_", 2) match {
