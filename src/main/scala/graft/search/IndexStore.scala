@@ -30,6 +30,56 @@ object IndexStore {
   private def fp(cfg: PipelineConfig): String =
     s"lang=${cfg.lang}|filters=${cfg.filters.mkString(",")}|sw=${cfg.stopwordsEnabled}"
 
+  // ---- persisted params ----------------------------------------------------
+  //
+  // The reference persists the filter/lang/algo params as a JSON doc next to
+  // the index and opens WITH them (/root/reference/src/core/params.c:159-198,
+  // nxs.c:253-287) — the index carries its own pipeline. params.json is that
+  // file: written at build (and on an explicit rebuild with new params),
+  // read by the no-config openIndex, and checked by the config-taking open
+  // path, which ERRORS on a conflict instead of silently rebuilding.
+  // The legacy in-process `custom` function field cannot round-trip through
+  // a file; durable indexes must express custom filters as registry-named
+  // `custom:<name>` filter entries (graft.text.CustomFilters).
+
+  private def paramsPath(root: String) = Paths.get(root, "params.json")
+
+  private def writeParams(root: String, cfg: PipelineConfig): Unit = {
+    val json = Seq(
+      "filters" -> cfg.filters.mkString(","),
+      "lang" -> cfg.lang,
+      "stopwords" -> cfg.stopwordsEnabled.toString)
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "params.json.tmp")
+    Files.write(tmp, json.getBytes)
+    Files.move(tmp, paramsPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The persisted pipeline params, when the index has been built. */
+  def readParams(root: String): Option[PipelineConfig] = {
+    val p = paramsPath(root)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p))
+    val kv = """"([^"]+)"\s*:\s*"([^"]*)"""".r
+    val m = kv.findAllMatchIn(s).map(x => x.group(1) -> x.group(2)).toMap
+    Some(PipelineConfig(
+      filters = m.getOrElse("filters", "").split(',').toSeq.filter(_.nonEmpty),
+      lang = m.getOrElse("lang", "en"),
+      stopwordsEnabled = m.get("stopwords").forall(_.toBoolean)))
+  }
+
+  private def requireParamsMatch(root: String, cfg: PipelineConfig): Unit =
+    readParams(root).foreach { stored =>
+      if (fp(stored) != fp(cfg))
+        throw new IllegalArgumentException(
+          s"index at $root was built with params [${fp(stored)}] but open " +
+            s"was called with [${fp(cfg)}] — open with no config to adopt " +
+            "the stored params, or use buildOrOpen to rebuild explicitly")
+    }
+
   /** Compaction generation: base stages and the mutation log are scoped to
     * the generation in the GENERATION file (absent = 0). `compact` writes
     * the next generation's stages and atomically bumps the file — the
@@ -52,6 +102,14 @@ object IndexStore {
   private def buildOrOpenGen(docs: => org.apache.spark.sql.DataFrame,
       cfg: PipelineConfig, spark: SparkSession, root: String,
       gen: Int): SearchIndex = {
+    require(cfg.custom.isEmpty,
+      "durable indexes cannot persist an in-process custom function — " +
+        "register it and use a 'custom:<name>' filter entry instead " +
+        "(graft.text.CustomFilters)")
+    // Persist (or explicitly update, on a deliberate rebuild-with-new-params)
+    // the pipeline params before the stages: the reference's params.db write
+    // at index create (params.c:159-198).
+    if (!readParams(root).map(fp).contains(fp(cfg))) writeParams(root, cfg)
     val store = new StageStore(spark, root)
     val f = fp(cfg)
     def n(b: String) = stageName(b, gen)
@@ -142,6 +200,10 @@ object IndexStore {
   def openIndex(docs: => DataFrame, cfg: PipelineConfig,
       spark: SparkSession, root: String,
       asCompactState: Boolean = false): SearchIndex = {
+    // Open-with-params semantics (nxs.c:253-287): opening an existing index
+    // with CONFLICTING params is an error, never a silent rebuild — a
+    // rebuild here would additionally orphan the mutation log's term ids.
+    requireParamsMatch(root, cfg)
     val base = buildOrOpen(docs, cfg, spark, root)
     val muts = listMutations(root)
     if (muts.isEmpty) return base
@@ -189,6 +251,18 @@ object IndexStore {
         c.getLong(0), c.getLong(1), cfg)
     SearchIndex(live.drop("first_pos", "_seq"), docStats, termStats,
       c.getLong(0), c.getLong(1), cfg)
+  }
+
+  /** Open a built index with its PERSISTED params — no config supplied, the
+    * index's own params.json decides the pipeline (the reference's default
+    * open path). Fails when `root` has never been built. */
+  def openIndex(spark: SparkSession, root: String): SearchIndex = {
+    val cfg = readParams(root).getOrElse(throw new IllegalStateException(
+      s"no params.json under $root — not a built index"))
+    openIndex(
+      sys.error(s"index at $root has params.json but no committed stages — " +
+        "rebuild with buildOrOpen"): DataFrame,
+      cfg, spark, root)
   }
 
   /** Fold the mutation log into fresh base stages — the analogue of the

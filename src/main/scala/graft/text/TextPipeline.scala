@@ -11,9 +11,13 @@ import scala.collection.mutable
  * /root/reference/src/core/filters.c:199-219).
  *
  * `filters` mirrors the params `filters` list; `lang` the `lang` param.
- * A user-supplied extension filter slot (the reference's Lua filter,
- * /root/reference/src/core/filters_lua.c) is `custom`: String => Option[String]
- * (None ⇒ discard).
+ * The user extension slot (the reference's Lua filter,
+ * /root/reference/src/core/filters_lua.c) has two forms: a `custom:<name>`
+ * filter-list entry resolved against the CustomFilters registry — the form
+ * that works on executors (only the name is serialized) and in persisted
+ * index params — and the legacy in-process `custom` field
+ * (String => Option[String]), usable only where the PipelineConfig object
+ * itself is in hand (plain-Scala calls). None ⇒ discard in both.
  */
 final case class PipelineConfig(
     filters: Seq[String] = Seq("normalizer", "stopwords", "stemmer"),
@@ -56,6 +60,14 @@ object TextPipeline {
               case None => return None
             }
             case None =>
+          }
+        case named if named.startsWith(CustomFilters.Prefix) =>
+          // By-name registry filter — the form that survives serialization
+          // to executors (the Catalyst expression ships only the filter CSV;
+          // see CustomFilters for the registration contract).
+          CustomFilters.resolve(named.stripPrefix(CustomFilters.Prefix))(v) match {
+            case Some(nv) => v = nv
+            case None => return None
           }
         case other =>
           throw new IllegalArgumentException(s"unknown filter: $other")

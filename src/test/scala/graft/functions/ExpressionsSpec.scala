@@ -93,6 +93,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 16 && r.getInt(3) == 8)
   }
 
+  test("custom:<name> registry filter runs inside the Catalyst expression") {
+    graft.text.CustomFilters.register("brit",
+      s => Some(if (s == "colour") "color" else s))
+    graft.text.CustomFilters.register("nodigits",
+      s => if (s.nonEmpty && s.forall(_.isDigit)) None else Some(s))
+    val df = Seq("Colour 123 Houses").toDF("text")
+    val got = df.select(nxs_tokenize_filters($"text", lit("en"),
+      Seq("normalizer", "custom:brit", "custom:nodigits", "stemmer")))
+      .as[Seq[String]].collect()
+    // brit mutates colour->color (then stemmed), nodigits discards "123"
+    assert(got(0) == Seq("color", "hous"))
+    // matches the plain-Scala pipeline with the same config (the memo and
+    // the Catalyst path must agree with direct filterToken calls)
+    val cfg = PipelineConfig(
+      filters = Seq("normalizer", "custom:brit", "custom:nodigits", "stemmer"),
+      stopwordsEnabled = true)
+    assert(TextPipeline.tokens("Colour 123 Houses", cfg).toSeq == Seq("color", "hous"))
+    // an unregistered name fails fast on executors, never a silent pass-through
+    val err = intercept[Exception] {
+      df.select(nxs_tokenize_filters($"text", lit("en"), Seq("custom:nope")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("not registered")), msgs(err).mkString("|"))
+  }
+
   test("expressions stay in WholeStageCodegen") {
     val df = spark.range(10).select(
       nxs_simhash(nxs_tokenize(concat(lit("text number "), $"id"))).as("h"))

@@ -195,6 +195,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(idx.tokenCount == 2L)
   }
 
+  test("params.json: reopen with NO config adopts stored params; conflict errors") {
+    val root = java.nio.file.Files.createTempDirectory("idxparams").toString
+    val cfg = TextPipeline.noStopwords
+    val idx1 = IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root)
+    val s1 = Searcher.search(idx1, "cats AND dogs").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+
+    // open with no config at all: params.json supplies the pipeline
+    // (the reference's open-with-params.db, nxs.c:253-287)
+    val idx2 = IndexStore.openIndex(spark, root)
+    assert(idx2.pipeline.filters == cfg.filters &&
+      idx2.pipeline.lang == cfg.lang &&
+      idx2.pipeline.stopwordsEnabled == cfg.stopwordsEnabled)
+    val s2 = Searcher.search(idx2, "cats AND dogs").fold(e => fail(e),
+      _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+    assert(s2 == s1)
+
+    // open with a CONFLICTING config: error, never a silent rebuild
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.openIndex(
+        { fail("conflicting open must not rebuild"); null },
+        TextPipeline.default, spark, root)
+    }
+    assert(err.getMessage.contains("params"), err.getMessage)
+
+    // an unbuilt root has no params to adopt
+    val empty = java.nio.file.Files.createTempDirectory("idxempty").toString
+    intercept[IllegalStateException] { IndexStore.openIndex(spark, empty) }
+  }
+
   test("syntax errors carry line:offset + context (query.c:47-58 format)") {
     val e1 = QueryParser.parse("a AND").left.getOrElse(fail("expected error"))
     assert(e1.matches("""syntax error near \d+:\d+: ".*""""), e1)
