@@ -525,6 +525,82 @@ case class SignLshExpr(child: Expression, nBits: Int, nTables: Int, seed: Long)
     copy(child = newChild)
 }
 
+object DeleteVariantsExpr {
+  /** XXH64 hashes of every string obtainable from `s` by deleting up to
+    * `maxDel` code points (the string itself included), distinct. The
+    * symmetric-delete fuzzy-match keyspace (Garbe's SymSpell construction):
+    * two strings within Levenshtein distance d share at least one common
+    * ≤d-deletion variant — an alignment with i insertions, e deletions and
+    * s substitutions (i+e+s ≤ d) leaves a common subsequence reachable with
+    * e+s ≤ d deletions from one side and i+s ≤ d from the other. Joining on
+    * these hashes is therefore a COMPLETE candidate generator for the
+    * bounded-levenshtein verify that follows; hash collisions only add
+    * candidates, which that verify removes.
+    *
+    * Strings longer than `maxLen` code points emit only their own hash:
+    * fuzzy tolerance is contractually limited to tokens of ≤ maxLen code
+    * points (the deletion neighborhood is O(L²) keys; the reference bounds
+    * its equivalent with a BK-tree over short query terms,
+    * /root/reference/src/algo/bktree.c:160-275). */
+  def hashes(str: UTF8String, maxDel: Int, maxLen: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(hashArray(str.toString, maxDel, maxLen))
+
+  def hashArray(s: String, maxDel: Int, maxLen: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val variants = new java.util.HashSet[String]()
+    variants.add(s)
+    if (cps.length <= maxLen) {
+      // The empty variant IS produced (for 1–2-cp strings under maxDel=2):
+      // two 2-cp tokens at distance 2 share only the empty subsequence, and
+      // the levenshtein verify prunes the small all-short-tokens bucket.
+      // Duplicate variants reached by different deletion orders carry the
+      // same remaining depth, so skipping recursion on a failed add is safe.
+      def recur(cur: Array[Int], depth: Int): Unit = {
+        if (depth == 0) return
+        var i = 0
+        while (i < cur.length) {
+          val next = new Array[Int](cur.length - 1)
+          System.arraycopy(cur, 0, next, 0, i)
+          System.arraycopy(cur, i + 1, next, i, cur.length - i - 1)
+          if (variants.add(new String(next, 0, next.length)))
+            recur(next, depth - 1)
+          i += 1
+        }
+      }
+      recur(cps, maxDel)
+    }
+    val out = new Array[Long](variants.size)
+    val it = variants.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(it.next()), 0L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+
+/** `delete_variants(term)` → array<bigint> — symmetric-delete neighborhood
+  * hashes for the bounded fuzzy-resolve equi-join. */
+case class DeleteVariantsExpr(child: Expression, maxDel: Int, maxLen: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "delete_variants"
+
+  override def nullSafeEval(s: Any): Any =
+    DeleteVariantsExpr.hashes(s.asInstanceOf[UTF8String], maxDel, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DeleteVariantsExpr.hashes($c, $maxDel, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WinnowExpr {
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS local document fingerprinting algorithm): hash every a-gram

@@ -40,6 +40,10 @@ package object functions {
       seed: Long = 42L): Column =
     column(BandKeysExpr(expression(sig), bands, rowsPerBand, seed))
 
+  /** Symmetric-delete neighborhood hashes for bounded fuzzy matching. */
+  def delete_variants(term: Column, maxDel: Int = 2, maxLen: Int = 32): Column =
+    column(DeleteVariantsExpr(expression(term), maxDel, maxLen))
+
   /** Bounded per-bucket membership aggregate (see BoundedBucketAgg). */
   def bounded_bucket(docId: Column, aux: Column, cap: Int): Column =
     column(BoundedBucketAgg(expression(docId), expression(aux), cap)

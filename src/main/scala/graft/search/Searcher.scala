@@ -49,29 +49,12 @@ object Searcher {
       .where(col("term").isin(tokens: _*))
       .select("term").collect().map(_.getString(0)).toSet
 
-    // Fuzzy fallback for ALL unresolved tokens in ONE job (the reference
-    // bounds this with a BK-tree, /root/reference/src/algo/bktree.c:160-275;
-    // relationally the bound is a broadcast of the tiny query-token set +
-    // |len(term) - len(tok)| <= 2 pruning before the bounded levenshtein,
-    // so the terms relation is scanned once per QUERY, not once per token).
+    // Fuzzy fallback for ALL unresolved tokens in ONE job.
     val unresolvedToks = tokens.filterNot(present)
     val fuzzyResolved: Map[String, String] =
       if (!fuzzy || unresolvedToks.isEmpty) Map.empty
-      else {
-        val spark = idx.termStats.sparkSession
-        import spark.implicits._
-        val qdf = unresolvedToks.toDF("qtok")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qtok").orderBy(col("total").desc, col("term"))
-        idx.termStats
-          .join(broadcast(qdf),
-            abs(length(col("term")) - length(col("qtok"))) <= 2 &&
-              levenshtein(col("term"), col("qtok"), 2) >= 0)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("qtok", "term")
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      }
+      else fuzzyCandidates(idx, unresolvedToks)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
     val resolved = piped.collect {
       case (leaf, Some(tok)) if present(tok) => leaf -> tok
@@ -79,6 +62,49 @@ object Searcher {
         leaf -> fuzzyResolved(tok)
     }
     Prepared(root, resolved)
+  }
+
+  /** Fuzzy tolerance (edits) and the code-point length cap of the
+    * symmetric-delete keyspace. Tokens longer than FuzzyMaxLen resolve
+    * exactly only — the deletion neighborhood is O(L²) keys per term, and
+    * the reference's own tolerance targets short query terms (bounded
+    * levenshtein 2, /root/reference/src/index/idxterm.c:210-249). */
+  private val FuzzyTolerance = 2
+  private val FuzzyMaxLen = 32
+
+  /** Most-popular in-dictionary term within Levenshtein distance <= 2 of
+    * each unresolved query token, as (qtok, term) — one row per qtok.
+    *
+    * Access path: an EQUI-JOIN on symmetric-delete neighborhood hashes
+    * (SymSpell; see DeleteVariantsExpr for the completeness argument) — the
+    * relational analogue of the reference's BK-tree metric-ball bound
+    * (/root/reference/src/algo/bktree.c:160-275). The per-term work is
+    * generating its ~L²/2 deletion-variant hashes and probing the broadcast
+    * hash table of the query tokens' variants; the bounded levenshtein runs
+    * only on hash-matched candidates, never per (term × token). The variant
+    * generation depends only on termStats, so at dictionary scale it
+    * amortizes: materialize `term_stats × delete_variants` once per index
+    * generation and this becomes a pure probe. */
+  private[search] def fuzzyCandidates(idx: SearchIndex,
+      unresolvedToks: Seq[String]): DataFrame = {
+    val spark = idx.termStats.sparkSession
+    import spark.implicits._
+    val qv = unresolvedToks.flatMap { t =>
+      graft.functions.DeleteVariantsExpr
+        .hashArray(t, FuzzyTolerance, FuzzyMaxLen).map(h => (t, h))
+    }.toDF("qtok", "vh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qtok").orderBy(col("total").desc, col("term"))
+    idx.termStats
+      .select(col("term"), col("total"),
+        explode(graft.functions.delete_variants(
+          col("term"), FuzzyTolerance, FuzzyMaxLen)).as("vh"))
+      .join(broadcast(qv), Seq("vh"))
+      .where(levenshtein(col("term"), col("qtok"), FuzzyTolerance) >= 0)
+      .select("qtok", "term", "total").distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("qtok", "term")
   }
 
   /** Evaluate the boolean algebra to the matching doc set. */

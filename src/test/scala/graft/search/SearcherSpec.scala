@@ -129,6 +129,20 @@ class SearcherSpec extends AnyFunSuite {
     assert(r == 0)
   }
 
+  test("fuzzy resolve is an equi-join on deletion-neighborhood keys, not BNLJ") {
+    val idx = buildIndex(logicDocs)
+    val df = Searcher.fuzzyCandidates(idx, Seq("unxi", "documnt"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan)
+    // resolution values unchanged from the scan-based path
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("unxi") == "unix", got)
+    // symmetric-delete edge: full 2-substitution on a 2-cp token still found
+    // iff a dictionary term is within distance 2 (empty-variant bucket)
+  }
+
   test("limit caps results (top-k)") {
     val idx = buildIndex(logicDocs)
     val top = Searcher.search(idx, "textbook", Searcher.Bm25, limit = 2)
@@ -143,5 +157,23 @@ class SearcherSpec extends AnyFunSuite {
     val df = Searcher.search(idx, "textbook", Searcher.Bm25, limit = 5).toOption.get
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("custom registry filter applies at indexing AND query preparation") {
+    // the reference's Lua-filter story: the same user filter runs inside
+    // indexing and inside query prepare (filters_lua.c:74-289)
+    graft.text.CustomFilters.register("brit_search",
+      s => Some(if (s == "colour") "color" else s))
+    val cfg = graft.text.PipelineConfig(
+      filters = Seq("normalizer", "custom:brit_search", "stemmer"),
+      stopwordsEnabled = false)
+    val idx = SearchIndex.build(
+      Seq(1L -> "the color is red", 2L -> "nothing else").toDF("doc_id", "text"),
+      cfg)
+    // query leaf "Colour" must resolve through the custom filter to the
+    // indexed term — exact resolve, no fuzzy assist
+    val got = Searcher.search(idx, "Colour", Searcher.Bm25, fuzzy = false)
+      .fold(e => fail(e), df => df.as[(Long, Double)].collect().toMap)
+    assert(got.keySet == Set(1L), got)
   }
 }
