@@ -13,16 +13,38 @@ import scala.jdk.CollectionConverters._
  * crawls): each batch is signed once, candidate generation touches ONLY the
  * buckets the new documents land in, and the cluster labels are advanced by
  * running connected components over (new verified edges ∪ the previous
- * labels re-expressed as star edges). Nothing re-signs or re-buckets the
- * existing corpus; per-batch cost is O(delta + touched-bucket membership).
+ * labels re-expressed as star edges). Nothing re-signs, re-buckets, or
+ * re-pairs the existing corpus; per-batch cost is O(delta + touched-bucket
+ * membership).
  *
  * This mirrors the reference's incremental index add (append new term/doc
  * blocks, re-sync readers — /root/reference/src/index/terms.c:320-414,
  * dtmap.c:246-355) lifted to the dedup layer, with the same commit
- * discipline as the search index: every batch's signature and label tables
- * are StageStore stages (atomic manifest publish, fingerprint lineage), so
- * a killed ingest resumes at the first uncommitted stage and a re-run of an
+ * discipline as the search index: every batch's tables are StageStore
+ * stages (atomic manifest publish, fingerprint lineage), so a killed ingest
+ * resumes at the first uncommitted stage and a re-run of an
  * already-committed batch is a no-op read.
+ *
+ * Store shape (the 100-TB design): the bucket relation is a PERSISTED
+ * hive-partitioned table, not a per-ingest re-derivation from stored
+ * signature columns —
+ *
+ *   sigs_<batch>/     (url, doc_id, warc_ts, band_keys|simhash|winnow_fps)
+ *   buckets_<batch>/  (pass, bucket_key, doc_id) partitioned by
+ *                     bpt = pmod(bucket_key, BucketParts)
+ *   labels_<batch>/   (id, comp) — cluster labels after this batch
+ *
+ * Each batch APPENDS one partitioned bucket stage (the Iceberg
+ * partition-append analogue); the touched-bucket read then prunes at the
+ * SCAN with a static `bpt IN (...)` partition filter computed from the new
+ * batch's keys, before the exact (pass, bucket_key) semi-join — per-batch
+ * read cost scales with the touched key space, not the stored corpus. The
+ * per-batch stage unions grow with batch count, so `compact()` folds all
+ * committed batches into one generation (mirroring IndexStore.compact):
+ * fold stages are written first, then the BATCHES list is atomically
+ * rewritten to the single fold id — the commit point; a crash before it
+ * leaves invisible orphan stages that an identical re-compact reuses by
+ * fingerprint. Labels are byte-identical across a compact.
  *
  * Semantics vs a from-scratch recluster: EXACTLY equal whenever no candidate
  * bucket exceeds `smallCap` (the common case; equality is what the
@@ -33,33 +55,29 @@ import scala.jdk.CollectionConverters._
  * forgotten, never unverified), so incremental clustering can only be
  * strictly MORE connected than a recluster, and only by pairwise-verified
  * edges. The same over-cap observability applies (bucketStats).
- *
- * At cluster scale the stored bucket relation should be a table partitioned
- * by bucket_key so the touched-bucket semi-join prunes partitions; here it
- * is derived from the stored signature columns (band_keys/simhash/
- * winnow_fps), which is one narrow scan of the signature store.
  */
 final class IncrementalDedup(spark: SparkSession, root: String,
     cfg: DedupConfig = DedupConfig()) {
+
+  import IncrementalDedup.BucketParts
 
   private val store = new StageStore(spark, root)
   private val cfgFp = {
     import cfg._
     s"w=$shingleW|k=$minhashK|b=$bands|r=$rowsPerBand|tau=$tau|d=$simhashMaxHamming|" +
       s"wa=$winnowA|ww=$winnowWindow|seed=$seed|cap=$smallCap|" +
-      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow"
+      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$BucketParts"
   }
 
   private def batchesPath = Paths.get(root, "BATCHES")
 
-  /** Committed batch ids, ingest order. */
+  /** Committed batch ids, ingest order (a compacted store lists its single
+    * fold id). */
   def batches(): Seq[String] =
     if (!Files.exists(batchesPath)) Nil
     else Files.readAllLines(batchesPath).asScala.toSeq.filter(_.nonEmpty)
 
-  private def appendBatch(id: String): Unit = {
-    require(!id.contains('\n') && !id.contains('/'), s"bad batch id: $id")
-    val all = batches() :+ id
+  private def writeBatches(all: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, "BATCHES.tmp")
     Files.write(tmp, all.mkString("", "\n", "\n").getBytes)
@@ -67,12 +85,32 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def appendBatch(id: String): Unit = {
+    require(!id.contains('\n') && !id.contains('/'), s"bad batch id: $id")
+    writeBatches(batches() :+ id)
+  }
+
   private def sigStage(id: String) = s"sigs_$id"
+  private def bucketStage(id: String) = s"buckets_$id"
   private def labelStage(id: String) = s"labels_$id"
 
   private def readSigs(ids: Seq[String]): Option[DataFrame] =
     ids.map(id => spark.read.parquet(s"$root/${sigStage(id)}/data"))
       .reduceOption(_ unionByName _)
+
+  /** The stored bucket relation of `ids`, read with a STATIC partition
+    * filter on the touched bucket partitions — the filter is applied per
+    * stage scan (before the union), so every scan prunes to the `bpt`
+    * directories a new batch actually touches. */
+  private[dedup] def prunedStoredBuckets(ids: Seq[String],
+      touchedPts: Seq[Int]): DataFrame =
+    ids.map { id =>
+      spark.read.parquet(s"$root/${bucketStage(id)}/data")
+        .where(col("bpt").isin(touchedPts: _*))
+        .select("pass", "bucket_key", "doc_id")
+    }.reduce(_ unionByName _)
+
+  private def bptCol = pmod(col("bucket_key"), lit(BucketParts.toLong)).cast("int")
 
   /** Ingest one batch of pages(url, warc_ts, html, text, lang). Returns the
     * updated labels (doc_id, comp) covering every doc in any duplicate
@@ -115,14 +153,20 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         case None => trimmed
       }
     }
+    // The batch's bucket rows, appended as one partitioned stage: this is
+    // the persisted form every later batch's touched-bucket read prunes.
+    val bucketsNew = store.runStage(bucketStage(batchId), cfgFp,
+      inputs = Seq(sigStage(batchId)), partitionCols = Seq("bpt")) {
+      DedupPipeline.bucketed(sigsNew, cfg).withColumn("bpt", bptCol)
+    }
 
     val labels = store.runStage(labelStage(batchId), cfgFp,
-      inputs = priorSigStages ++ prior.lastOption.map(labelStage).toSeq :+
-        sigStage(batchId)) {
-      val newEdges = readSigs(prior) match {
-        case None => DedupPipeline.edgesRaw(sigsNew, cfg)
-        case Some(stored) => deltaEdges(stored, sigsNew)
-      }
+      inputs = priorSigStages ++ prior.map(bucketStage) ++
+        prior.lastOption.map(labelStage).toSeq ++
+        Seq(sigStage(batchId), bucketStage(batchId))) {
+      val newEdges =
+        if (prior.isEmpty) DedupPipeline.edgesRaw(sigsNew, cfg)
+        else deltaEdges(readSigs(prior).get, prior, sigsNew, bucketsNew)
       val priorLabelEdges = prior.lastOption.map { last =>
         spark.read.parquet(s"$root/${labelStage(last)}/data")
           .where(col("id") =!= col("comp"))
@@ -135,17 +179,23 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     labels
   }
 
-  /** Verified edges involving at least one new document: stored bucket rows
-    * are read ONLY for buckets some new doc touches (left-semi on the new
-    * batch's key set), so per-batch cost scales with the delta, not the
-    * corpus. */
-  private def deltaEdges(stored: DataFrame, sigsNew: DataFrame): DataFrame = {
+  /** Verified edges involving at least one new document. The stored side is
+    * the persisted bucket table read with (1) a static `bpt IN (touched)`
+    * partition filter — pruned at the scan — then (2) a left-semi join on
+    * the exact (pass, bucket_key) key set of the new batch; per-batch cost
+    * scales with the delta and its touched buckets, not the corpus. */
+  private def deltaEdges(stored: DataFrame, priorIds: Seq[String],
+      sigsNew: DataFrame, bucketsNew: DataFrame): DataFrame = {
     import DedupPipeline.{PassMinhash, PassSimhash, PassWinnow}
-    val bNew = DedupPipeline.bucketed(sigsNew, cfg)
-    val touched = DedupPipeline.bucketed(stored, cfg)
+    val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
+    // The touched partition set is at most BucketParts values — a driver
+    // scalar derived from the (delta-sized) new bucket stage.
+    val touchedPts = bNew.select("bpt").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val touched = prunedStoredBuckets(priorIds, touchedPts)
       .join(bNew.select("pass", "bucket_key").distinct(),
         Seq("pass", "bucket_key"), "left_semi")
-    val stream = touched.unionByName(bNew)
+    val stream = touched.unionByName(bNew.select("pass", "bucket_key", "doc_id"))
     val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
       alwaysStarPass = PassWinnow)
     // keep only pairs that involve a new document — old-old pairs in a
@@ -178,6 +228,52 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     parts.reduce(_ unionByName _)
   }
 
+  /** Fold every committed batch into one — bounds the per-ingest stage-union
+    * fan-in that otherwise grows with batch count (the reference's analogue:
+    * rewriting its db files instead of growing the append log forever,
+    * terms.c:320-344). Fold stages are written (or resumed by fingerprint)
+    * first; the atomic BATCHES rewrite to the single fold id is the commit
+    * point. Labels are carried over verbatim — clusters() before and after
+    * a compact are identical. */
+  def compact(): Seq[String] = {
+    val ids = batches()
+    require(ids.nonEmpty, "no batches ingested")
+    ids.find(id => !Files.exists(
+        Paths.get(root, labelStage(id), "MANIFEST.json"))).foreach { bad =>
+      throw new IllegalStateException(
+        s"batch '$bad' is partially ingested — resume it before compacting")
+    }
+    if (ids.size == 1) return ids
+    // Deterministic for an identical fold input (a crashed compact's orphan
+    // stages are then reused by fingerprint), different once batches change.
+    val foldId =
+      s"fold${ids.length}_${(ids.mkString(",").hashCode & 0x7fffffff).toHexString}"
+    store.runStage(sigStage(foldId), cfgFp, inputs = ids.map(sigStage)) {
+      readSigs(ids).get
+    }
+    store.runStage(bucketStage(foldId), cfgFp,
+      inputs = ids.map(bucketStage), partitionCols = Seq("bpt")) {
+      ids.map(id => spark.read.parquet(s"$root/${bucketStage(id)}/data")
+          .select("pass", "bucket_key", "doc_id", "bpt"))
+        .reduce(_ unionByName _)
+    }
+    store.runStage(labelStage(foldId), cfgFp,
+      inputs = Seq(labelStage(ids.last))) {
+      spark.read.parquet(s"$root/${labelStage(ids.last)}/data")
+        .select("id", "comp")
+    }
+    writeBatches(Seq(foldId)) // commit point
+    // best-effort cleanup of the folded batches
+    def rmDir(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmDir)); f.delete(): Unit
+    }
+    ids.foreach { id =>
+      Seq(sigStage(id), bucketStage(id), labelStage(id))
+        .foreach(s => rmDir(new java.io.File(s"$root/$s")))
+    }
+    Seq(foldId)
+  }
+
   /** Current clusters over every ingested document:
     * (url, doc_id, cluster_id, is_champion) — the same resolve as
     * DedupPipeline.clusters (champion = earliest (warc_ts, url)). */
@@ -196,4 +292,12 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       .withColumn("is_champion", row_number().over(w) === 1)
       .select("url", "doc_id", "cluster_id", "is_champion")
   }
+}
+
+object IncrementalDedup {
+  /** Hive-partition fan-out of the persisted bucket table. At web scale the
+    * right value tracks the cluster's parallelism (e.g. 4096); here it is
+    * sized so local test batches demonstrably prune (part of the config
+    * fingerprint — changing it invalidates the store). */
+  val BucketParts = 64
 }

@@ -60,9 +60,16 @@ final class StageStore(val spark: SparkSession, val root: String) {
 
   /** Run (or resume) a stage. `inputs` are upstream stage names — their
     * fingerprints are folded into this stage's fingerprint, so an upstream
-    * config change invalidates everything downstream. */
+    * config change invalidates everything downstream.
+    *
+    * `partitionCols` hive-partitions the stage parquet (the Iceberg
+    * partition-spec analogue): readers filtering on a partition column get
+    * static partition pruning at the scan. A zero-row partitioned write
+    * emits no schema-bearing files, so empty relations fall back to one
+    * unpartitioned empty file (pruning is moot on nothing). */
   def runStage(name: String, configFingerprint: String,
-      inputs: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
+      inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil)(
+      compute: => DataFrame): DataFrame = {
     val lineage = inputs.map { in =>
       val fp = readManifest(in).flatMap(_.get("fingerprint")).getOrElse("?")
       s"$in=$fp"
@@ -74,7 +81,19 @@ final class StageStore(val spark: SparkSession, val root: String) {
     } else {
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode(SaveMode.Overwrite).parquet(dataDir(name))
+      if (partitionCols.isEmpty)
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir(name))
+      else {
+        df.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(dataDir(name))
+        val anyFile = {
+          val s = Files.walk(Paths.get(dataDir(name)))
+          try s.anyMatch(p => p.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+        if (!anyFile)
+          df.limit(0).write.mode(SaveMode.Overwrite).parquet(dataDir(name))
+      }
       val committed = spark.read.parquet(dataDir(name))
       val rows = committed.count()
       val durMs = (System.nanoTime() - t0) / 1e6

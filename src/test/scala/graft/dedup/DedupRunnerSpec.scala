@@ -47,6 +47,52 @@ class DedupRunnerSpec extends AnyFunSuite {
     assert(r2 == r1)
   }
 
+  test("incremental store: partitioned bucket reads prune; compact keeps labels") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 150)).cache()
+    val root = java.nio.file.Files.createTempDirectory("incstore").toString
+    val inc = new IncrementalDedup(spark, root)
+    val nb = 5
+    val ids = (0 until nb).map(i => s"day$i")
+    for (i <- 0 until nb)
+      inc.addBatch(ids(i), corpus.where(abs(xxhash64(col("url"))) % nb === i))
+    def snap() = inc.clusters()
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val before = snap()
+    // batch-ingest == from-scratch recluster (5-way split)
+    val full = DedupPipeline.clusters(corpus)
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(before == full)
+
+    // the touched-bucket read is PRUNED AT THE SCAN: a static bpt partition
+    // filter on the persisted (hive-partitioned) bucket table, per stage
+    val pruned = inc.prunedStoredBuckets(ids.dropRight(1), Seq(1, 2, 3))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bpt""".r.findFirstIn(plan).isDefined, plan)
+    // and it actually restricts rows to those partitions
+    assert(pruned.count() <
+      inc.prunedStoredBuckets(ids.dropRight(1),
+        0 until IncrementalDedup.BucketParts).count())
+
+    // compaction collapses the store to one fold; labels byte-identical
+    assert(inc.compact().size == 1)
+    assert(inc.batches().size == 1)
+    assert(snap() == before)
+    // the folded bucket stage is still partitioned (reads still prune)
+    val plan2 = inc.prunedStoredBuckets(inc.batches(), Seq(1, 2, 3))
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bpt""".r.findFirstIn(plan2).isDefined, plan2)
+
+    // ingest on the compacted store: an all-duplicate batch is a no-op
+    inc.addBatch("day_dup", corpus.where(abs(xxhash64(col("url"))) % nb === 0))
+    assert(snap() == before)
+    corpus.unpersist()
+  }
+
   test("config change invalidates downstream stages (fingerprint lineage)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_run3").toString
     val pages = SyntheticCorpus.pages(spark, corpusCfg)

@@ -59,6 +59,72 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("streaming ingest: crash redelivery of a batchId is idempotent") {
+    import graft.dedup.{DedupConfig, DedupPipeline}
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 90)).cache()
+    val srcDir = Files.createTempDirectory("graft_stream_redeliver_src").toString
+    val root = Files.createTempDirectory("graft_stream_redeliver_store").toString
+    val ckpt = Files.createTempDirectory("graft_stream_redeliver_ckpt").toString
+    for (p <- 0 until 3)
+      corpus.where(abs(xxhash64(col("url"))) % 3 === p)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runOnce(ckptDir: String): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = StreamOps.dedupIngest(stream, root, DedupConfig(),
+        checkpointDir = ckptDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(ckpt)
+    val inc = new graft.dedup.IncrementalDedup(spark, root)
+    val batches1 = inc.batches()
+    assert(batches1.size >= 2, batches1.toString)
+    def labels() = inc.clusters().select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toSet
+    val labels1 = labels()
+
+    // Simulate a crash AFTER the source offsets were logged but BEFORE the
+    // batch's commit record was written: delete the last commit-log entry.
+    // On restart Structured Streaming REDELIVERS that micro-batch with the
+    // SAME batchId — the claimed exactly-once composition is that
+    // IncrementalDedup.addBatch then resumes/reads its committed stages
+    // instead of re-ingesting. The "restarted process" is modeled by
+    // copying the doctored checkpoint to a fresh path: Spark 4 keeps a
+    // per-JVM guard that treats a commit rewrite under the ORIGINAL path as
+    // a concurrent query, which a real post-crash JVM would not have.
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val last = commitsDir.listFiles.map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commitsDir, last.toString).delete())
+    // the local FS keeps a Hadoop checksum shadow; a stale one would fail
+    // the rewrite as a checksum mismatch rather than exercise redelivery
+    new java.io.File(commitsDir, s".$last.crc").delete()
+    val ckpt2 = Files.createTempDirectory("graft_stream_redeliver_ckpt2").toString
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      Option(src.listFiles).foreach(_.foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else { java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
+      })
+    }
+    copyDir(new java.io.File(ckpt), new java.io.File(ckpt2))
+    runOnce(ckpt2) // redelivery of batch `last` with the same batchId
+
+    val inc2 = new graft.dedup.IncrementalDedup(spark, root)
+    // no duplicate batch dirs, identical ingest order, identical labels
+    assert(inc2.batches() == batches1, inc2.batches().toString)
+    assert(labels() == labels1)
+    // and the store still equals a from-scratch recluster
+    val full = DedupPipeline.clusters(corpus)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labels1 == full)
+    corpus.unpersist()
+  }
+
   test("windowed event counts with watermark match batch aggregation") {
     val dir = Files.createTempDirectory("graft_stream_events").toString
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
