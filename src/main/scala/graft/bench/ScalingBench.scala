@@ -101,37 +101,7 @@ object ScalingBench {
     // the Spark number above can be read against it. On a real 4N-executor
     // cluster each executor brings its own memory system, so this bound
     // does not apply there.
-    def kernelDps(nThreads: Int): Double = {
-      val kcfg = SyntheticCorpus.Config(nClusters = 3000)
-      val texts = (0 until 3000).map(c =>
-        SyntheticCorpus.pageOf(kcfg, c.toLong, 0).text).toArray
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-      val reps = 2
-      val t0 = System.nanoTime()
-      val futs = (0 until nThreads).map { _ =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            val en = org.apache.spark.unsafe.types.UTF8String.fromString("en")
-            var r = 0
-            while (r < reps) {
-              texts.foreach { s =>
-                val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                val toks = graft.functions.NxsTokenizeExpr.tokenize(
-                  u, en, "normalizer,stopwords,stemmer", true)
-                val sh = graft.functions.ShingleHashesExpr.shingles(toks, 5, 42L)
-                graft.functions.MinHashSigExpr.signature(sh, 128, 42L)
-                graft.functions.SimHash64Expr.simhash(toks, 42L)
-                graft.functions.WinnowExpr.fingerprints(toks, 40, 21, 42L)
-              }
-              r += 1
-            }
-          }
-        })
-      }
-      futs.foreach(_.get())
-      pool.shutdown()
-      nThreads.toLong * reps * 3000 / ((System.nanoTime() - t0) / 1e9)
-    }
+    def kernelDps(nThreads: Int): Double = KernelControl.dps(nThreads)
     kernelDps(8) // warmup
     val kernelRatios = (1 to rounds).map { _ =>
       val k8 = kernelDps(8); val k32 = kernelDps(32)

@@ -188,6 +188,14 @@ object MediaCodecs {
       0.114 * (bytes(off) & 0xff) + 0.587 * (bytes(off + 1) & 0xff) +
         0.299 * (bytes(off + 2) & 0xff)
     }
+    dhashGrid(luma, width, height)
+  }
+
+  /** The dHash selection rule, shared by every decoder path: nearest-
+    * neighbor 9×8 luma resample, bit (y,x) = L(x,y) > L(x+1,y). Keeping the
+    * rule in one place is what makes swapping decoders hash-compatible. */
+  private def dhashGrid(luma: (Int, Int) => Double, width: Int,
+      height: Int): Long = {
     var h = 0L
     var y = 0
     while (y < 8) {
@@ -203,4 +211,28 @@ object MediaCodecs {
     }
     h
   }
+
+  /** Format-sniffing dHash: uncompressed BMPs go through the byte-level
+    * decoder above; anything else (JPEG, PNG, GIF) is decoded by the JDK's
+    * built-in ImageIO codecs — the first REAL swap through the documented
+    * decoder seam (MultimodalOps: "swapping in a codec is a drop-in
+    * change"). The selection rule (dhashGrid) is shared, so the hash is
+    * decoder-independent: the same pixels produce the same 64 bits whether
+    * they arrived as BMP bytes or a JPEG stream. The luma here reads the
+    * sRGB ints ImageIO produces with the same BT.601-style coefficients as
+    * the BMP path. */
+  def dhashImage(bytes: Array[Byte]): Long =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      dhash(bytes)
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "dhashImage: undecodable image bytes")
+      def luma(x: Int, y: Int): Double = {
+        val rgb = img.getRGB(x, y)
+        0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.299 * ((rgb >> 16) & 0xff)
+      }
+      dhashGrid(luma, img.getWidth, img.getHeight)
+    }
 }

@@ -169,12 +169,16 @@ object MultimodalOps {
   }
 
   /** 64-bit perceptual dHash per image (decode → 9×8 luma resample →
-    * gradient bits). */
+    * gradient bits). Accepts uncompressed BMP (byte-level decoder) AND any
+    * JDK-ImageIO-decodable format — JPEG/PNG/GIF — via the sniffing
+    * MediaCodecs.dhashImage; the hash is decoder-independent. */
   def imageDHash(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, MediaCodecs.dhash(bytes)) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, MediaCodecs.dhashImage(bytes))
+      })
       .toDF("doc_id", "simhash")
   }
 

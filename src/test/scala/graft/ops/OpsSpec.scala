@@ -238,6 +238,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h0 != MediaCodecs.dhash(MediaCodecs.synthBmp(2, 32, 24)))
   }
 
+  test("JPEG via the JDK ImageIO codec: near-dup pairs over synthesized JPEGs") {
+    import java.awt.image.BufferedImage
+    // deterministic structured images (smooth gradients + a seed-placed
+    // block) so the perceptual hash is stable under JPEG's lossy encode
+    def baseImage(seed: Long, w: Int = 64, h: Int = 64): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val m = graft.corpus.SyntheticCorpus.mix(seed)
+      // seed-dependent 2D sinusoid: frequencies/phase differ per base, so
+      // distinct bases land far apart in dHash space, while the smooth
+      // large-amplitude gradients survive JPEG loss + a brightness shift
+      val fa = 1 + (m & 7).toInt; val fb = 1 + ((m >>> 8) & 7).toInt
+      val phase = ((m >>> 16) & 0xff) / 40.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (128 + 110 * math.sin((x * fa + y * fb) / 6.0 + phase)).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    def brighten(img: BufferedImage, d: Int): BufferedImage = {
+      val out = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = math.min(255, (img.getRGB(x, y) & 0xff) + d)
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    // 8 bases; each under two doc_ids: the original JPEG and a re-encoded,
+    // slightly brightened variant (dHash gradients are brightness-shift
+    // tolerant; JPEG loss perturbs few bits) -> planted near-dup pairs
+    val rows = (0L until 8L).flatMap { i =>
+      val img = baseImage(i)
+      Seq((i, jpeg(img)), (i + 100L, jpeg(brighten(img, 3))))
+    }
+    val df = rows.toDF("doc_id", "image")
+    val pairs = MultimodalOps.imageNearDupPairs(df, maxHamming = 3)
+      .as[(Long, Long)].collect().toSet
+    assert((0L until 8L).forall(i => pairs.contains((i, i + 100L))),
+      pairs.toString)
+    // no cross-base pair qualifies
+    assert(pairs.forall { case (a, b) => b - a == 100L }, pairs.toString)
+    // decoder-independence of the hash: the SAME pixels through the BMP
+    // byte decoder and through ImageIO give the SAME 64 bits
+    val bmp = MediaCodecs.synthBmp(5, 32, 24)
+    assert(MediaCodecs.dhashImage(bmp) == MediaCodecs.dhash(bmp))
+  }
+
   test("frameSample emits n frames per blob with increasing offsets") {
     val fr = MultimodalOps.frameSample(media, n = 4).collect()
     assert(fr.length == 50 * 4)
