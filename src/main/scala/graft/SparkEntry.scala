@@ -39,6 +39,7 @@ object SparkEntry {
     "q_search_bool" -> ((s, d) => RelationalOps.searchBool(s, d)),
     "q_topk_docs" -> ((s, d) => RelationalOps.topkDocs(s, d)),
     "q_lang_dist" -> ((s, d) => RelationalOps.langDist(s, d)),
+    "q_fuzzy_resolve" -> ((s, d) => RelationalOps.fuzzyResolve(s, d)),
     // dedup family
     "q_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccard(s, d)),
@@ -120,6 +121,23 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
     "q_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    // most-popular term within levenshtein <= 2 per probe — the oracle
+    // scans the dictionary directly; Spark resolves via the symmetric-
+    // delete equi-join (same result, bounded access path)
+    "q_fuzzy_resolve" ->
+      s"""WITH post AS ($POSTINGS),
+         |stats AS (SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS total
+         |          FROM post GROUP BY term),
+         |probes(qtok) AS (VALUES ('sprk'), ('jion'), ('hsah'), ('mergee'),
+         |                        ('zzzzzzz')),
+         |cand AS (SELECT p.qtok, s.term, s.total
+         |         FROM probes p JOIN stats s
+         |           ON levenshtein(p.qtok, s.term) <= 2)
+         |SELECT qtok, term FROM (
+         |  SELECT qtok, term,
+         |         row_number() OVER (PARTITION BY qtok
+         |                            ORDER BY total DESC, term) AS rn
+         |  FROM cand) WHERE rn = 1""".stripMargin,
     "q_nation_revenue" ->
       """SELECT r_name, n_name,
         |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *

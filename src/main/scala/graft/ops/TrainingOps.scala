@@ -510,6 +510,22 @@ object RelationalOps {
   def langDist(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).groupBy("lang").agg(count(lit(1)).as("n"))
 
+  /** Fixed misspelled probes for the fuzzy-resolve oracle: 1–2-edit
+    * corruptions of corpus terms plus one unresolvable token (absent from
+    * the result — resolution is within-tolerance only). */
+  val fuzzyProbes: Seq[String] = Seq("sprk", "jion", "hsah", "mergee", "zzzzzzz")
+
+  /** Bounded fuzzy term resolution (reference BK-tree fuzzysearch,
+    * /root/reference/src/index/idxterm.c:210-249) over the split-token term
+    * stats: each probe resolves to the most-popular term within Levenshtein
+    * distance <= 2 via the symmetric-delete equi-join access path
+    * (Searcher.fuzzyCandidates). The DuckDB oracle re-derives the same
+    * resolution with a direct levenshtein scan — same result, different
+    * access path, which is exactly the claim under test. */
+  def fuzzyResolve(spark: SparkSession, dir: String): DataFrame =
+    graft.search.Searcher.fuzzyCandidates(
+      RelationalOps.termStats(spark, dir), fuzzyProbes)
+
   /** Multi-table relational join (TPC-H Q5 shape): revenue per region/nation
     * over customer ⋈ orders ⋈ lineitem with the two small dimension tables
     * broadcast. Money math in DECIMAL so the sum is exact and

@@ -53,7 +53,7 @@ object Searcher {
     val unresolvedToks = tokens.filterNot(present)
     val fuzzyResolved: Map[String, String] =
       if (!fuzzy || unresolvedToks.isEmpty) Map.empty
-      else fuzzyCandidates(idx, unresolvedToks)
+      else fuzzyCandidates(idx.termStats, unresolvedToks)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
     val resolved = piped.collect {
@@ -85,9 +85,9 @@ object Searcher {
     * generation depends only on termStats, so at dictionary scale it
     * amortizes: materialize `term_stats × delete_variants` once per index
     * generation and this becomes a pure probe. */
-  private[search] def fuzzyCandidates(idx: SearchIndex,
+  def fuzzyCandidates(termStats: DataFrame,
       unresolvedToks: Seq[String]): DataFrame = {
-    val spark = idx.termStats.sparkSession
+    val spark = termStats.sparkSession
     import spark.implicits._
     val qv = unresolvedToks.flatMap { t =>
       graft.functions.DeleteVariantsExpr
@@ -95,7 +95,7 @@ object Searcher {
     }.toDF("qtok", "vh")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qtok").orderBy(col("total").desc, col("term"))
-    idx.termStats
+    termStats
       .select(col("term"), col("total"),
         explode(graft.functions.delete_variants(
           col("term"), FuzzyTolerance, FuzzyMaxLen)).as("vh"))

@@ -131,7 +131,7 @@ class SearcherSpec extends AnyFunSuite {
 
   test("fuzzy resolve is an equi-join on deletion-neighborhood keys, not BNLJ") {
     val idx = buildIndex(logicDocs)
-    val df = Searcher.fuzzyCandidates(idx, Seq("unxi", "documnt"))
+    val df = Searcher.fuzzyCandidates(idx.termStats, Seq("unxi", "documnt"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
