@@ -64,17 +64,21 @@ object DedupRunner {
     * spark-submit conf — the code only declares the plan. With a 4th
     * argument the input is ingested as one IncrementalDedup batch against
     * the store at `<stage_root>/incremental` instead of a from-scratch
-    * recluster. */
+    * recluster; the special batch id `--compact` instead folds the store's
+    * committed batches into one generation (labels unchanged) and writes
+    * the current clusters. */
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: DedupRunner <pages_parquet> <out_parquet> <stage_root> [batch_id]")
+      "usage: DedupRunner <pages_parquet> <out_parquet> <stage_root> " +
+        "[batch_id | --compact]")
     val Array(in, out, root) = args.take(3)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-dedup").getOrCreate()
     val clusters =
       if (args.length >= 4) {
         val inc = new IncrementalDedup(spark, s"$root/incremental")
-        inc.addBatch(args(3), spark.read.parquet(in))
+        if (args(3) == "--compact") inc.compact()
+        else inc.addBatch(args(3), spark.read.parquet(in)): Unit
         inc.clusters()
       } else run(spark.read.parquet(in), DedupConfig(), root)
     clusters.write.mode("overwrite").parquet(out)

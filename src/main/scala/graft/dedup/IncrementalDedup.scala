@@ -274,6 +274,26 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     Seq(foldId)
   }
 
+  /** Per-pass bucket-population diagnostics over the PERSISTED bucket
+    * store (buckets, members, over-cap count, max size) — the incremental
+    * path's form of DedupPipeline.bucketStats, so residual star-fallback
+    * recall loss stays observable without re-deriving anything from
+    * signatures. */
+  def bucketStats(): DataFrame = {
+    val ids = batches()
+    require(ids.nonEmpty, "no batches ingested")
+    ids.map(id => spark.read.parquet(s"$root/${bucketStage(id)}/data")
+        .select("pass", "bucket_key", "doc_id"))
+      .reduce(_ unionByName _)
+      .groupBy("pass", "bucket_key").agg(count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+      .groupBy("pass")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("sz").as("members"),
+        sum(when(col("sz") > cfg.smallCap, 1).otherwise(0)).as("over_cap"),
+        max("sz").as("max_sz"))
+  }
+
   /** Current clusters over every ingested document:
     * (url, doc_id, cluster_id, is_champion) — the same resolve as
     * DedupPipeline.clusters (champion = earliest (warc_ts, url)). */

@@ -90,6 +90,19 @@ class DedupRunnerSpec extends AnyFunSuite {
     // ingest on the compacted store: an all-duplicate batch is a no-op
     inc.addBatch("day_dup", corpus.where(abs(xxhash64(col("url"))) % nb === 0))
     assert(snap() == before)
+
+    // over-cap observability over the persisted store: stats equal the
+    // batch path's derivation from the same signatures
+    val fromStore = inc.bucketStats().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val sigsAll = DedupPipeline.signatures(corpus, DedupConfig())
+    val trimmed = sigsAll.withColumn("band_keys",
+        graft.functions.nxs_band_keys(col("sig"))).drop("sig")
+    val fromSigs = DedupPipeline.bucketStats(trimmed, DedupConfig()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(fromStore == fromSigs)
     corpus.unpersist()
   }
 
