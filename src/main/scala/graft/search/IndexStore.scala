@@ -126,9 +126,22 @@ object IndexStore {
       docStats.agg(count(lit(1)).as("doc_count"),
         coalesce(sum("dl"), lit(0L)).as("token_count"))
     }
+    // Symmetric-delete fuzzy index (the reference's BK-tree re-expressed as
+    // an at-rest table, /root/reference/src/algo/bktree.c:160-275): one row
+    // per (deletion-variant hash, term), vh-sorted so row groups span
+    // narrow hash ranges (IN-predicate row-group pruning) with a bloom
+    // filter for point probes. Built once per generation from term_stats.
+    val fuzzy = store.runStage(n("fuzzy_variants"), f,
+      inputs = Seq(n("term_stats")), sortCols = Seq("vh"),
+      bloomCols = Seq("vh")) {
+      termStats.select(
+        explode(graft.functions.delete_variants(col("term"),
+          Searcher.FuzzyTolerance, Searcher.FuzzyMaxLen)).as("vh"),
+        col("term"), col("total"))
+    }
     val stats = statsDf.collect()(0)
     SearchIndex(postings.drop("first_pos"), docStats, termStats,
-      stats.getLong(0), stats.getLong(1), cfg)
+      stats.getLong(0), stats.getLong(1), cfg, fuzzyVariants = Some(fuzzy))
   }
 
   // ---- durable mutations ---------------------------------------------------

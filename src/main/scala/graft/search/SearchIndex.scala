@@ -26,7 +26,15 @@ final case class SearchIndex(
     docCount: Long,
     tokenCount: Long,
     pipeline: PipelineConfig,
-    cached: Seq[DataFrame] = Nil) {
+    cached: Seq[DataFrame] = Nil,
+    // Persisted symmetric-delete variant table (vh, term, total), sorted by
+    // vh with parquet bloom filters — the durable analogue of the
+    // reference's BK-tree (built once per index generation, probed per
+    // fuzzy query). Present only when it exactly matches the dictionary:
+    // IndexStore sets it on committed opens with an empty mutation log and
+    // clears it while mutations are pending (Searcher then derives
+    // candidates on the fly — same values, slower path — until compact()).
+    fuzzyVariants: Option[DataFrame] = None) {
 
   /** Release the `.cache()` blocks behind a `build()`-produced in-memory
     * index view (the exact cached plans are retained here because

@@ -49,12 +49,19 @@ object Searcher {
       .where(col("term").isin(tokens: _*))
       .select("term").collect().map(_.getString(0)).toSet
 
-    // Fuzzy fallback for ALL unresolved tokens in ONE job.
+    // Fuzzy fallback for ALL unresolved tokens in ONE job: probe the
+    // persisted variant table when the index carries one that matches the
+    // dictionary, else derive the candidates on the fly (same values).
     val unresolvedToks = tokens.filterNot(present)
     val fuzzyResolved: Map[String, String] =
       if (!fuzzy || unresolvedToks.isEmpty) Map.empty
-      else fuzzyCandidates(idx.termStats, unresolvedToks)
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      else {
+        val cand = idx.fuzzyVariants match {
+          case Some(v) => fuzzyProbe(v, unresolvedToks)
+          case None => fuzzyCandidates(idx.termStats, unresolvedToks)
+        }
+        cand.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      }
 
     val resolved = piped.collect {
       case (leaf, Some(tok)) if present(tok) => leaf -> tok
@@ -69,8 +76,8 @@ object Searcher {
     * exactly only — the deletion neighborhood is O(L²) keys per term, and
     * the reference's own tolerance targets short query terms (bounded
     * levenshtein 2, /root/reference/src/index/idxterm.c:210-249). */
-  private val FuzzyTolerance = 2
-  private val FuzzyMaxLen = 32
+  val FuzzyTolerance = 2
+  val FuzzyMaxLen = 32
 
   /** Most-popular in-dictionary term within Levenshtein distance <= 2 of
     * each unresolved query token, as (qtok, term) — one row per qtok.
@@ -99,6 +106,34 @@ object Searcher {
       .select(col("term"), col("total"),
         explode(graft.functions.delete_variants(
           col("term"), FuzzyTolerance, FuzzyMaxLen)).as("vh"))
+      .join(broadcast(qv), Seq("vh"))
+      .where(levenshtein(col("term"), col("qtok"), FuzzyTolerance) >= 0)
+      .select("qtok", "term", "total").distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("qtok", "term")
+  }
+
+  /** Fuzzy resolution against a PERSISTED variant table (vh, term, total) —
+    * the probe form of fuzzyCandidates: the query tokens' variant hashes
+    * filter the table at the scan (vh-sorted row groups + bloom filters
+    * prune at rest; IndexStore writes both), then the same bounded
+    * levenshtein + most-popular pick. Values identical to the derive path
+    * by construction — both join the same complete candidate keyspace. */
+  def fuzzyProbe(variants: DataFrame,
+      unresolvedToks: Seq[String]): DataFrame = {
+    val spark = variants.sparkSession
+    import spark.implicits._
+    val pairs = unresolvedToks.flatMap { t =>
+      graft.functions.DeleteVariantsExpr
+        .hashArray(t, FuzzyTolerance, FuzzyMaxLen).map(h => (t, h))
+    }
+    val qv = pairs.toDF("qtok", "vh")
+    val hashes = pairs.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qtok").orderBy(col("total").desc, col("term"))
+    variants
+      .where(col("vh").isin(hashes: _*)) // pushed to the parquet scan
       .join(broadcast(qv), Seq("vh"))
       .where(levenshtein(col("term"), col("qtok"), FuzzyTolerance) >= 0)
       .select("qtok", "term", "total").distinct()

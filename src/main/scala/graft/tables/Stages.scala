@@ -66,9 +66,16 @@ final class StageStore(val spark: SparkSession, val root: String) {
     * partition-spec analogue): readers filtering on a partition column get
     * static partition pruning at the scan. A zero-row partitioned write
     * emits no schema-bearing files, so empty relations fall back to one
-    * unpartitioned empty file (pruning is moot on nothing). */
+    * unpartitioned empty file (pruning is moot on nothing).
+    *
+    * `sortCols` range-sorts the stage before writing (the Iceberg
+    * sort-order analogue): each parquet row group then covers a narrow key
+    * span, so pushed point/IN predicates on those columns skip row groups
+    * via min/max statistics. `bloomCols` additionally writes parquet bloom
+    * filters for point-lookup pruning on high-cardinality keys. */
   def runStage(name: String, configFingerprint: String,
-      inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil)(
+      inputs: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)(
       compute: => DataFrame): DataFrame = {
     val lineage = inputs.map { in =>
       val fp = readManifest(in).flatMap(_.get("fingerprint")).getOrElse("?")
@@ -80,12 +87,17 @@ final class StageStore(val spark: SparkSession, val root: String) {
       spark.read.parquet(dataDir(name))
     } else {
       val t0 = System.nanoTime()
-      val df = compute
+      val df0 = compute
+      val df =
+        if (sortCols.isEmpty) df0
+        else df0.sort(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      def writer = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
       if (partitionCols.isEmpty)
-        df.write.mode(SaveMode.Overwrite).parquet(dataDir(name))
+        writer.parquet(dataDir(name))
       else {
-        df.write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCols: _*).parquet(dataDir(name))
+        writer.partitionBy(partitionCols: _*).parquet(dataDir(name))
         val anyFile = {
           val s = Files.walk(Paths.get(dataDir(name)))
           try s.anyMatch(p => p.toString.endsWith(".parquet"))

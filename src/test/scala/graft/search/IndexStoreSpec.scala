@@ -225,6 +225,40 @@ class IndexStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] { IndexStore.openIndex(spark, empty) }
   }
 
+  test("persisted fuzzy-variant stage: probe == derive, pushed scan, mutation-aware") {
+    val root = java.nio.file.Files.createTempDirectory("idxfuzzy").toString
+    val cfg = TextPipeline.noStopwords
+    val idx = IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root)
+    assert(idx.fuzzyVariants.isDefined)
+
+    val toks = Seq("catz", "doggs")
+    val probe = Searcher.fuzzyProbe(idx.fuzzyVariants.get, toks)
+    val derive = Searcher.fuzzyCandidates(idx.termStats, toks)
+    val got = probe.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == derive.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    assert(got.nonEmpty)
+    // the variant-hash predicate reaches the parquet scan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*vh""".r.findFirstIn(plan).isDefined, plan)
+
+    // pending mutations invalidate the at-rest table (dictionary drift);
+    // search still resolves fuzzily through the derive path
+    val idx2 = IndexStore.addDocs(base.toDF("doc_id", "text"), cfg, spark, root,
+      Seq(9L -> "zebra zebra").toDF("doc_id", "text"))
+    assert(idx2.fuzzyVariants.isEmpty)
+    val viaSearch = Searcher.search(idx2, "zebr", fuzzy = true)
+      .fold(e => fail(e), _.select("doc_id").as[Long].collect().toSet)
+    assert(viaSearch == Set(9L), viaSearch)
+    // compact folds the log; the rebuilt generation carries fresh variants
+    // including the mutated-in term
+    val idx3 = IndexStore.compact(
+      { fail("no recompute"); null }, cfg, spark, root)
+    assert(idx3.fuzzyVariants.isDefined)
+    val z = Searcher.fuzzyProbe(idx3.fuzzyVariants.get, Seq("zebraa"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(z.get("zebraa").contains("zebra"), z)
+  }
+
   test("syntax errors carry line:offset + context (query.c:47-58 format)") {
     val e1 = QueryParser.parse("a AND").left.getOrElse(fail("expected error"))
     assert(e1.matches("""syntax error near \d+:\d+: ".*""""), e1)
