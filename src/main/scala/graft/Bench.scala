@@ -178,42 +178,47 @@ object Bench {
     val dedupDps = if (dedupSec > 0) corpusDocs / dedupSec else -1.0
     val dedupNorm = if (dedupDps > 0 && kernel > 0) dedupDps / kernel else -1.0
 
+    def emit(pairedJson: String): Unit = {
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","protocol":"median_of_${runs}_warm",""" +
+        s""""dedup_corpus_docs":$corpusDocs,"dedup_docs_per_sec":$dedupDps,""" +
+        f""""kernel_docs_per_sec":$kernel%.0f,"kernel_pre":$kernelPre%.0f,""" +
+        f""""kernel_post":$kernelPost%.0f,""" +
+        f""""dedup_docs_per_sec_norm":$dedupNorm%.4f""" +
+        pairedJson + "}"
+      // File first (the channel that cannot be mangled by log prefixes),
+      // then the bare stdout line.
+      Files.writeString(Paths.get("BENCH_SELF.json"), json + "\n")
+      println(json)
+    }
+    // Emit the main results BEFORE the paired legs: a harness that times
+    // out mid-leg still gets a complete artifact (re-emitted with the
+    // paired fields appended on completion — a tail parse takes the last
+    // line either way).
+    emit("")
+
     // Paired scaling leg: one local[8] and one local[cpus] dedup run
     // back-to-back (same throttle window), fresh session each, after the
     // main session is gone. JIT state survives session restarts, so these
     // legs are warm.
-    val pairedJson =
-      if (!pairedLeg) ""
-      else {
-        spark.stop()
-        def leg(cores: Int): Double = {
-          val s = newSession(cores)
-          val t0 = System.nanoTime()
-          DedupPipeline.clusters(s.read.parquet(corpusPath), DedupConfig())
-            .count()
-          val t = (System.nanoTime() - t0) / 1e9
-          clearState(s)
-          s.stop()
-          t
-        }
-        val t8 = leg(8)
-        val t32 = leg(cpus)
-        val eff = (t8 / t32) / (cpus / 8.0)
-        f""","paired_dedup":{"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"efficiency":$eff%.4f}"""
+    if (pairedLeg) {
+      spark.stop()
+      def leg(cores: Int): Double = {
+        val s = newSession(cores)
+        val t0 = System.nanoTime()
+        DedupPipeline.clusters(s.read.parquet(corpusPath), DedupConfig())
+          .count()
+        val t = (System.nanoTime() - t0) / 1e9
+        clearState(s)
+        s.stop()
+        t
       }
-
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","protocol":"median_of_${runs}_warm",""" +
-      s""""dedup_corpus_docs":$corpusDocs,"dedup_docs_per_sec":$dedupDps,""" +
-      f""""kernel_docs_per_sec":$kernel%.0f,"kernel_pre":$kernelPre%.0f,""" +
-      f""""kernel_post":$kernelPost%.0f,""" +
-      f""""dedup_docs_per_sec_norm":$dedupNorm%.4f""" +
-      pairedJson + "}"
-    // File first (the channel that cannot be mangled by log prefixes), then
-    // the bare stdout line.
-    Files.writeString(Paths.get("BENCH_SELF.json"), json + "\n")
-    println(json)
-    if (!pairedLeg) spark.stop()
+      val t8 = leg(8)
+      val t32 = leg(cpus)
+      val eff = (t8 / t32) / (cpus / 8.0)
+      emit(
+        f""","paired_dedup":{"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"efficiency":$eff%.4f}""")
+    } else spark.stop()
   }
 }
