@@ -85,5 +85,7 @@ package object functions {
       es => WinnowPosExpr(es.head, 40, 21, 42L), "built-in")
     reg.createOrReplaceTempFunction("sign_lsh",
       es => SignLshExpr(es.head, 16, 8, 42L), "built-in")
+    reg.createOrReplaceTempFunction("delete_variants",
+      es => DeleteVariantsExpr(es.head, 2, 32), "built-in")
   }
 }

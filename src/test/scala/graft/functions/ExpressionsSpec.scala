@@ -88,9 +88,11 @@ class ExpressionsSpec extends AnyFunSuite {
       """SELECT size(nxs_band_keys(nxs_minhash(nxs_shingles(nxs_tokenize(text))))),
         |       size(nxs_winnow(nxs_tokenize(text))),
         |       size(nxs_winnow_pos(nxs_tokenize(text))),
-        |       size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))))
+        |       size(sign_lsh(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT)))),
+        |       size(delete_variants('abc'))
         |FROM t_expr_sql""".stripMargin).collect()(0)
     assert(r.getInt(0) == 16 && r.getInt(3) == 8)
+    assert(r.getInt(4) == 7) // abc + 3 single + 3 double deletes (a b c ab...)
   }
 
   test("custom:<name> registry filter runs inside the Catalyst expression") {
