@@ -89,6 +89,51 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(math.abs(est - j) < 0.12, s"est $est vs $j") // ~4 sigma at k=256
   }
 
+  test("symmetric-delete completeness: any pair within levenshtein 2 " +
+    "shares a deletion-variant hash (the fuzzy equi-join's recall claim)") {
+    // plain Levenshtein, reference semantics (t_levdist analogue)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alpha = "abcdefg" // small alphabet -> edits often collide/cancel
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val editGen: Gen[(String, String)] = for {
+      w <- wordGen
+      nEdits <- Gen.choose(0, 2)
+      edited <- (0 until nEdits).foldLeft(Gen.const(w)) { (g, _) =>
+        g.flatMap { s =>
+          for {
+            op <- Gen.choose(0, 2)
+            pos <- Gen.choose(0, math.max(0, s.length - 1))
+            c <- Gen.oneOf(alpha.toSeq)
+          } yield op match {
+            case 0 if s.nonEmpty => s.updated(pos, c)                // sub
+            case 1 => s.substring(0, pos) + c + s.substring(pos)     // ins
+            case 2 if s.length > 1 =>                                // del
+              s.substring(0, pos) + s.substring(pos + 1)
+            case _ => s
+          }
+        }
+      }
+    } yield (w, edited)
+    forAll(editGen, n = 300) { case (a, b) =>
+      val d = lev(a, b)
+      if (d <= 2 && a.nonEmpty && b.nonEmpty) {
+        val ha = DeleteVariantsExpr.hashArray(a, 2, 32).toSet
+        val hb = DeleteVariantsExpr.hashArray(b, 2, 32).toSet
+        assert(ha.intersect(hb).nonEmpty,
+          s"'$a' ~ '$b' (lev $d) share no delete variant")
+      }
+    }
+  }
+
   test("tokenize memo is invisible: repeated calls and repeated tokens " +
     "yield byte-identical streams") {
     forAll(tokensGen(0, 60)) { toks =>
