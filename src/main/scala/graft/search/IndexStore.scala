@@ -113,13 +113,20 @@ object IndexStore {
     val store = new StageStore(spark, root)
     val f = fp(cfg)
     def n(b: String) = stageName(b, gen)
-    val postings = store.runStage(n("postings"), f) {
+    // Sort orders at rest (the Iceberg sort-order analogue): the search
+    // path reads postings/term_stats with `term = ...` / `term IN (...)`
+    // point predicates, so term-sorted row groups + a term bloom filter
+    // prune the scan to the query's terms instead of reading the corpus.
+    val postings = store.runStage(n("postings"), f,
+      sortCols = Seq("term"), bloomCols = Seq("term")) {
       SearchIndex.postingsOf(docs, cfg)
     }
     val docStats = store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
       SearchIndex.docStatsOf(postings)
     }
-    val termStats = store.runStage(n("term_stats"), f, inputs = Seq(n("postings"))) {
+    val termStats = store.runStage(n("term_stats"), f,
+      inputs = Seq(n("postings")),
+      sortCols = Seq("term"), bloomCols = Seq("term")) {
       SearchIndex.termStatsOf(postings)
     }
     val statsDf = store.runStage(n("index_stats"), f, inputs = Seq(n("doc_stats"))) {
@@ -307,11 +314,13 @@ object IndexStore {
     }
     Seq("postings", "doc_stats", "term_stats", "index_stats")
       .foreach(b => rmDir(new java.io.File(s"$root/${n(b)}")))
-    store.runStage(n("postings"), f) { state.postings }
+    store.runStage(n("postings"), f,
+      sortCols = Seq("term"), bloomCols = Seq("term")) { state.postings }
     store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
       state.docStats
     }
-    store.runStage(n("term_stats"), f, inputs = Seq(n("postings"))) {
+    store.runStage(n("term_stats"), f, inputs = Seq(n("postings")),
+      sortCols = Seq("term"), bloomCols = Seq("term")) {
       state.termStats
     }
     store.runStage(n("index_stats"), f, inputs = Seq(n("doc_stats"))) {
@@ -328,6 +337,36 @@ object IndexStore {
     Seq("postings", "doc_stats", "term_stats", "index_stats")
       .foreach(b => rmDir(new java.io.File(s"$root/${stageName(b, gen)}")))
     openIndex(docs, cfg, spark, root)
+  }
+
+  /** Destroy a built index — the reference's nxs_index_destroy
+    * (/root/reference/src/core/nxs.c:303-345): refuses to touch a directory
+    * that is not an index (no params.json), then removes only the artifacts
+    * the store recognizes (params, generation marker, stage dirs incl.
+    * every generation's, mutation log, metrics) and finally the root if
+    * empty — an unrelated file someone put there survives and keeps the
+    * directory, like the reference's failing rmdir. */
+  def destroy(root: String): Unit = {
+    if (!Files.exists(paramsPath(root)))
+      throw new IllegalStateException(
+        s"$root is not a built index (no params.json) — refusing to delete")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val stageBases = Seq("postings", "doc_stats", "term_stats", "index_stats",
+      "fuzzy_variants")
+    val owned = Files.list(Paths.get(root))
+    val names = try owned.toArray.toSeq.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString) finally owned.close()
+    names.foreach { name =>
+      val isStage = stageBases.exists(b => name == b || name.startsWith(s"$b@"))
+      if (isStage || name == "mutations" || name == "_metrics")
+        rm(new java.io.File(root, name))
+    }
+    Files.deleteIfExists(Paths.get(root, "GENERATION"))
+    Files.deleteIfExists(paramsPath(root))
+    try Files.deleteIfExists(Paths.get(root)): Unit
+    catch { case _: java.nio.file.DirectoryNotEmptyException => } // foreign files stay
   }
 
   /** Durable add: tokenizes `newDocs(doc_id, text)`, rejects ids that are

@@ -259,6 +259,26 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(z.get("zebraa").contains("zebra"), z)
   }
 
+  test("destroy removes only recognized index artifacts (nxs.c:303-345)") {
+    val root = java.nio.file.Files.createTempDirectory("idxdestroy").toString
+    val cfg = TextPipeline.noStopwords
+    IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root)
+    // a foreign file keeps the directory alive through a destroy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "NOT_OURS.txt"), "keep me")
+    IndexStore.destroy(root)
+    val left = new java.io.File(root).listFiles.map(_.getName).toSet
+    assert(left == Set("NOT_OURS.txt"), left)
+    // a non-index directory is refused
+    val plain = java.nio.file.Files.createTempDirectory("notanindex").toString
+    intercept[IllegalStateException] { IndexStore.destroy(plain) }
+    // destroy on a clean index removes the root entirely
+    val root2 = java.nio.file.Files.createTempDirectory("idxdestroy2").toString
+    IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root2)
+    IndexStore.destroy(root2)
+    assert(!new java.io.File(root2).exists())
+  }
+
   test("syntax errors carry line:offset + context (query.c:47-58 format)") {
     val e1 = QueryParser.parse("a AND").left.getOrElse(fail("expected error"))
     assert(e1.matches("""syntax error near \d+:\d+: ".*""""), e1)
