@@ -89,14 +89,10 @@ object Bench {
     // during the (untimed) inter-run state clear — file removal must not
     // count against the measured stage.
     val deferredDeletes = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-      f.delete(): Unit
-    }
     def clearState(s: SparkSession = spark): Unit = {
       s.catalog.clearCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      deferredDeletes.foreach(deleteRecursively)
+      deferredDeletes.foreach(graft.tables.FsUtil.deleteRecursively)
       deferredDeletes.clear()
     }
 
@@ -202,7 +198,10 @@ object Bench {
     // back-to-back (same throttle window), fresh session each, after the
     // main session is gone. JIT state survives session restarts, so these
     // legs are warm.
-    if (pairedLeg) {
+    // Degenerate below 2x the low leg's cores; the fields name the actual
+    // high-leg core count so a non-default SPARK_GRAFT_CPUS cannot be
+    // misread as the 8-vs-32 protocol.
+    if (pairedLeg && cpus >= 16) {
       spark.stop()
       def leg(cores: Int): Double = {
         val s = newSession(cores)
@@ -215,10 +214,11 @@ object Bench {
         t
       }
       val t8 = leg(8)
-      val t32 = leg(cpus)
-      val eff = (t8 / t32) / (cpus / 8.0)
+      val tHi = leg(cpus)
+      val eff = (t8 / tHi) / (cpus / 8.0)
       emit(
-        f""","paired_dedup":{"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"efficiency":$eff%.4f}""")
+        f""","paired_dedup":{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f,""" +
+        f""""cores_hi":$cpus,"efficiency":$eff%.4f}""")
     } else spark.stop()
   }
 }

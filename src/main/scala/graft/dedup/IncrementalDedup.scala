@@ -112,6 +112,18 @@ final class IncrementalDedup(spark: SparkSession, root: String,
 
   private def bptCol = pmod(col("bucket_key"), lit(BucketParts.toLong)).cast("int")
 
+  /** Stores ingested before the partitioned bucket-table format have
+    * sigs_/labels_ stages but no buckets_ stage; fail with a migration
+    * message instead of a path-not-found mid-job. */
+  private def requireBucketStages(ids: Seq[String]): Unit =
+    ids.find(id => !Files.exists(
+        Paths.get(root, bucketStage(id), "MANIFEST.json"))).foreach { old =>
+      throw new IllegalStateException(
+        s"batch '$old' predates the partitioned bucket-table store format " +
+          "(no committed buckets stage) — re-ingest the corpus into a " +
+          "fresh store root")
+    }
+
   /** Ingest one batch of pages(url, warc_ts, html, text, lang). Returns the
     * updated labels (doc_id, comp) covering every doc in any duplicate
     * relation so far. Re-running a committed batch id resumes/reads, never
@@ -135,6 +147,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         appendBatch(batchId); b
       }
     }
+    requireBucketStages(prior)
     val priorSigStages = prior.map(sigStage)
     val sigsNew = store.runStage(sigStage(batchId), cfgFp,
       inputs = priorSigStages) {
@@ -243,6 +256,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       throw new IllegalStateException(
         s"batch '$bad' is partially ingested — resume it before compacting")
     }
+    requireBucketStages(ids)
     if (ids.size == 1) return ids
     // Deterministic for an identical fold input (a crashed compact's orphan
     // stages are then reused by fingerprint), different once batches change.
@@ -264,12 +278,10 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     }
     writeBatches(Seq(foldId)) // commit point
     // best-effort cleanup of the folded batches
-    def rmDir(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmDir)); f.delete(): Unit
-    }
     ids.foreach { id =>
       Seq(sigStage(id), bucketStage(id), labelStage(id))
-        .foreach(s => rmDir(new java.io.File(s"$root/$s")))
+        .foreach(s => graft.tables.FsUtil.deleteRecursively(
+          new java.io.File(s"$root/$s")))
     }
     Seq(foldId)
   }

@@ -453,11 +453,17 @@ object SignLshExpr {
   // defaults): pure waste at a billion vectors. One byte per weight,
   // flattened [table][bit][dim]; values are bit-identical to the per-row
   // derivation (same mix chain), so bucket keys are unchanged.
+  //
+  // `dim` is untrusted (ragged rows): a corrupt multi-million-element
+  // embedding must not trigger a nTables×nBits×dim allocation, so only
+  // dims up to MAX_CACHED_DIM are interned (≤ 512 KB at defaults); bigger
+  // rows fall back to the allocation-free per-row derivation below. The
+  // cache is additionally clear-on-full bounded like cfgCache.
+  private val MAX_CACHED_DIM = 4096
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int), Array[Byte]]()
 
   private def planes(nBits: Int, nTables: Int, seed: Long, dim: Int): Array[Byte] = {
-    // `dim` is untrusted (ragged rows): clear-on-full bound like cfgCache.
     if (planeCache.size > 16) planeCache.clear()
     planeCache.computeIfAbsent((nBits, nTables, seed, dim), { key =>
       val (bits, tables, s, d0) = key
@@ -483,6 +489,7 @@ object SignLshExpr {
 
   def buckets(vec: ArrayData, nBits: Int, nTables: Int, seed: Long): ArrayData = {
     val dim = vec.numElements()
+    if (dim > MAX_CACHED_DIM) return bucketsDerived(vec, nBits, nTables, seed)
     val w = planes(nBits, nTables, seed, dim)
     val out = new Array[Long](nTables)
     var t = 0
@@ -496,6 +503,34 @@ object SignLshExpr {
         while (d < dim) {
           dot += w(o) * vec.getFloat(d)
           o += 1; d += 1
+        }
+        if (dot >= 0) sketch |= (1L << h)
+        h += 1
+      }
+      out(t) = XXH64.hashLong(sketch, seed + t)
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Allocation-free per-row weight derivation (identical mix chain) for
+    * dims too large to intern. */
+  private def bucketsDerived(vec: ArrayData, nBits: Int, nTables: Int,
+      seed: Long): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sketch = 0L
+      var h = 0
+      while (h < nBits) {
+        val planeSeed = mix(seed ^ (t.toLong << 32) ^ h.toLong)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val w = if (mix(planeSeed ^ d.toLong) > 0) 1.0 else -1.0
+          dot += w * vec.getFloat(d)
+          d += 1
         }
         if (dot >= 0) sketch |= (1L << h)
         h += 1

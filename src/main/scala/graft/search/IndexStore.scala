@@ -45,11 +45,12 @@ object IndexStore {
   private def paramsPath(root: String) = Paths.get(root, "params.json")
 
   private def writeParams(root: String, cfg: PipelineConfig): Unit = {
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = Seq(
       "filters" -> cfg.filters.mkString(","),
       "lang" -> cfg.lang,
       "stopwords" -> cfg.stopwordsEnabled.toString)
-      .map { case (k, v) => s""""$k": "$v"""" }
+      .map { case (k, v) => s""""$k": "${esc(v)}"""" }
       .mkString("{\n  ", ",\n  ", "\n}")
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, "params.json.tmp")
@@ -63,8 +64,10 @@ object IndexStore {
     val p = paramsPath(root)
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p))
-    val kv = """"([^"]+)"\s*:\s*"([^"]*)"""".r
-    val m = kv.findAllMatchIn(s).map(x => x.group(1) -> x.group(2)).toMap
+    // same escaped-string shape as StageStore manifests
+    val kv = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
+    val m = kv.findAllMatchIn(s).map(x => x.group(1) -> unesc(x.group(2))).toMap
     Some(PipelineConfig(
       filters = m.getOrElse("filters", "").split(',').toSeq.filter(_.nonEmpty),
       lang = m.getOrElse("lang", "en"),
@@ -138,7 +141,12 @@ object IndexStore {
     // per (deletion-variant hash, term), vh-sorted so row groups span
     // narrow hash ranges (IN-predicate row-group pruning) with a bloom
     // filter for point probes. Built once per generation from term_stats.
-    val fuzzy = store.runStage(n("fuzzy_variants"), f,
+    // The tolerance/length params shape this table's CONTENT, so they are
+    // part of its fingerprint — bumping either invalidates and rebuilds
+    // (fp(cfg) alone would silently reuse a stale neighborhood).
+    val fuzzyFp =
+      s"$f|fuzzy=d${Searcher.FuzzyTolerance}l${Searcher.FuzzyMaxLen}"
+    val fuzzy = store.runStage(n("fuzzy_variants"), fuzzyFp,
       inputs = Seq(n("term_stats")), sortCols = Seq("vh"),
       bloomCols = Seq("vh")) {
       termStats.select(
@@ -309,11 +317,9 @@ object IndexStore {
     // orphan stages at gen+1 that may predate later mutations; they are
     // invisible (gen never bumped), so delete them rather than letting the
     // fingerprint check reuse a stale fold.
-    def rmDir(p: java.io.File): Unit = {
-      Option(p.listFiles).foreach(_.foreach(rmDir)); p.delete(): Unit
-    }
-    Seq("postings", "doc_stats", "term_stats", "index_stats")
-      .foreach(b => rmDir(new java.io.File(s"$root/${n(b)}")))
+    Seq("postings", "doc_stats", "term_stats", "index_stats",
+      "fuzzy_variants")
+      .foreach(b => graft.tables.FsUtil.deleteRecursively(new java.io.File(s"$root/${n(b)}")))
     store.runStage(n("postings"), f,
       sortCols = Seq("term"), bloomCols = Seq("term")) { state.postings }
     store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
@@ -333,9 +339,10 @@ object IndexStore {
     Files.move(tmp, Paths.get(root, "GENERATION"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // best-effort cleanup of the superseded generation
-    rmDir(new java.io.File(s"$root/mutations/gen_$gen"))
-    Seq("postings", "doc_stats", "term_stats", "index_stats")
-      .foreach(b => rmDir(new java.io.File(s"$root/${stageName(b, gen)}")))
+    graft.tables.FsUtil.deleteRecursively(new java.io.File(s"$root/mutations/gen_$gen"))
+    Seq("postings", "doc_stats", "term_stats", "index_stats",
+      "fuzzy_variants")
+      .foreach(b => graft.tables.FsUtil.deleteRecursively(new java.io.File(s"$root/${stageName(b, gen)}")))
     openIndex(docs, cfg, spark, root)
   }
 
@@ -350,9 +357,6 @@ object IndexStore {
     if (!Files.exists(paramsPath(root)))
       throw new IllegalStateException(
         s"$root is not a built index (no params.json) — refusing to delete")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
     val stageBases = Seq("postings", "doc_stats", "term_stats", "index_stats",
       "fuzzy_variants")
     val owned = Files.list(Paths.get(root))
@@ -361,7 +365,7 @@ object IndexStore {
     names.foreach { name =>
       val isStage = stageBases.exists(b => name == b || name.startsWith(s"$b@"))
       if (isStage || name == "mutations" || name == "_metrics")
-        rm(new java.io.File(root, name))
+        graft.tables.FsUtil.deleteRecursively(new java.io.File(root, name))
     }
     Files.deleteIfExists(Paths.get(root, "GENERATION"))
     Files.deleteIfExists(paramsPath(root))

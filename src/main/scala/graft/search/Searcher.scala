@@ -73,11 +73,13 @@ object Searcher {
 
   /** Fuzzy tolerance (edits) and the code-point length cap of the
     * symmetric-delete keyspace. Tokens longer than FuzzyMaxLen resolve
-    * exactly only — the deletion neighborhood is O(L²) keys per term, and
-    * the reference's own tolerance targets short query terms (bounded
-    * levenshtein 2, /root/reference/src/index/idxterm.c:210-249). */
+    * exactly only — the deletion neighborhood is O(L²) keys per term
+    * (~2k hashes at 64), and 64 code points already covers compound words
+    * and identifiers that survive tokenization; the reference's own
+    * tolerance targets query terms (bounded levenshtein 2,
+    * /root/reference/src/index/idxterm.c:210-249). */
   val FuzzyTolerance = 2
-  val FuzzyMaxLen = 32
+  val FuzzyMaxLen = 64
 
   /** Most-popular in-dictionary term within Levenshtein distance <= 2 of
     * each unresolved query token, as (qtok, term) — one row per qtok.
@@ -93,20 +95,33 @@ object Searcher {
     * amortizes: materialize `term_stats × delete_variants` once per index
     * generation and this becomes a pure probe. */
   def fuzzyCandidates(termStats: DataFrame,
-      unresolvedToks: Seq[String]): DataFrame = {
-    val spark = termStats.sparkSession
+      unresolvedToks: Seq[String]): DataFrame =
+    resolveMostPopular(
+      termStats
+        .select(col("term"), col("total"),
+          explode(graft.functions.delete_variants(
+            col("term"), FuzzyTolerance, FuzzyMaxLen)).as("vh"))
+        .join(broadcast(queryVariants(termStats.sparkSession, unresolvedToks)),
+          Seq("vh")))
+
+  /** The query tokens' variant-hash relation (qtok, vh) — tiny, broadcast. */
+  private def queryVariants(spark: org.apache.spark.sql.SparkSession,
+      toks: Seq[String]): DataFrame = {
     import spark.implicits._
-    val qv = unresolvedToks.flatMap { t =>
+    toks.flatMap { t =>
       graft.functions.DeleteVariantsExpr
         .hashArray(t, FuzzyTolerance, FuzzyMaxLen).map(h => (t, h))
     }.toDF("qtok", "vh")
+  }
+
+  /** Shared resolution tail for both candidate sources: exact bounded
+    * levenshtein on hash-matched (qtok, term) pairs, then the most-popular
+    * pick (total desc, term asc). Keeping this in one place is what makes
+    * probe == derive hold by construction. */
+  private def resolveMostPopular(cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qtok").orderBy(col("total").desc, col("term"))
-    termStats
-      .select(col("term"), col("total"),
-        explode(graft.functions.delete_variants(
-          col("term"), FuzzyTolerance, FuzzyMaxLen)).as("vh"))
-      .join(broadcast(qv), Seq("vh"))
+    cand
       .where(levenshtein(col("term"), col("qtok"), FuzzyTolerance) >= 0)
       .select("qtok", "term", "total").distinct()
       .withColumn("rn", row_number().over(w))
@@ -122,24 +137,14 @@ object Searcher {
     * by construction — both join the same complete candidate keyspace. */
   def fuzzyProbe(variants: DataFrame,
       unresolvedToks: Seq[String]): DataFrame = {
-    val spark = variants.sparkSession
-    import spark.implicits._
-    val pairs = unresolvedToks.flatMap { t =>
+    val qv = queryVariants(variants.sparkSession, unresolvedToks)
+    val hashes = unresolvedToks.flatMap(t =>
       graft.functions.DeleteVariantsExpr
-        .hashArray(t, FuzzyTolerance, FuzzyMaxLen).map(h => (t, h))
-    }
-    val qv = pairs.toDF("qtok", "vh")
-    val hashes = pairs.map(_._2).distinct
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qtok").orderBy(col("total").desc, col("term"))
-    variants
-      .where(col("vh").isin(hashes: _*)) // pushed to the parquet scan
-      .join(broadcast(qv), Seq("vh"))
-      .where(levenshtein(col("term"), col("qtok"), FuzzyTolerance) >= 0)
-      .select("qtok", "term", "total").distinct()
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("qtok", "term")
+        .hashArray(t, FuzzyTolerance, FuzzyMaxLen)).distinct
+    resolveMostPopular(
+      variants
+        .where(col("vh").isin(hashes: _*)) // pushed to the parquet scan
+        .join(broadcast(qv), Seq("vh")))
   }
 
   /** Evaluate the boolean algebra to the matching doc set. */

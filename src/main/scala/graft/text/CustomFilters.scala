@@ -35,8 +35,11 @@ object CustomFilters {
   /** Register `f` under `name` (referenced as `custom:<name>` in filter
     * lists). Idempotent for the same name; re-registering replaces. */
   def register(name: String, f: String => Option[String]): Unit = {
-    require(name.nonEmpty && !name.contains(',') && !name.contains(':'),
-      s"filter name must be non-empty, without ',' or ':': '$name'")
+    // Names travel through filter CSVs, stage fingerprints, and the
+    // persisted params.json — keep them to a safe identifier charset.
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"filter name must be [A-Za-z0-9_.-]+: '$name'")
     registry.put(name, f)
     ()
   }

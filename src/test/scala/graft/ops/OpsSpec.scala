@@ -285,9 +285,17 @@ class MultimodalSpec extends AnyFunSuite {
     // no cross-base pair qualifies
     assert(pairs.forall { case (a, b) => b - a == 100L }, pairs.toString)
     // decoder-independence of the hash: the SAME pixels through the BMP
-    // byte decoder and through ImageIO give the SAME 64 bits
+    // byte decoder vs re-encoded LOSSLESSLY as PNG and decoded by ImageIO
+    // must give the SAME 64 bits (a sniffed 'BM' self-compare would be a
+    // tautology — this crosses the two decoder paths for real)
     val bmp = MediaCodecs.synthBmp(5, 32, 24)
-    assert(MediaCodecs.dhashImage(bmp) == MediaCodecs.dhash(bmp))
+    val asPng = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    assert(MediaCodecs.dhashImage(asPng) == MediaCodecs.dhash(bmp))
   }
 
   test("frameSample emits n frames per blob with increasing offsets") {
