@@ -51,4 +51,44 @@ object KernelControl {
     run(nThreads, 1) // warmup (JIT is shared JVM state, cheap re-warm)
     run(nThreads, reps)
   }
+
+  /** Sustained variant: keeps all threads busy for ~`seconds` of continuous
+    * work and reports the aggregate docs/sec. The short `dps` control
+    * measures burst speed; hosts with burst-credit CPU quotas can run
+    * bursts at full speed while throttling sustained load — comparing the
+    * two separates that failure mode from engine regressions on
+    * long-running queries (observed 2026-08-17: short kernel 134k docs/s
+    * while a 4-minute Spark block ran 3× slower, then a 30 s leg fast
+    * again). */
+  def sustainedDps(nThreads: Int, seconds: Int = 20, nDocs: Int = 3000): Double = {
+    val kcfg = SyntheticCorpus.Config(nClusters = nDocs)
+    val texts = (0 until nDocs).map(c =>
+      SyntheticCorpus.pageOf(kcfg, c.toLong, 0).text).toArray
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val stopAt = System.nanoTime() + seconds * 1_000_000_000L
+    val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val futs = (0 until nThreads).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val en = UTF8String.fromString("en")
+          while (System.nanoTime() < stopAt) {
+            texts.foreach { s =>
+              val u = UTF8String.fromString(s)
+              val toks = graft.functions.NxsTokenizeExpr.tokenize(
+                u, en, "normalizer,stopwords,stemmer", true)
+              val sh = graft.functions.ShingleHashesExpr.shingles(toks, 5, 42L)
+              graft.functions.MinHashSigExpr.signature(sh, 128, 42L)
+              graft.functions.SimHash64Expr.simhash(toks, 42L)
+              graft.functions.WinnowExpr.fingerprints(toks, 40, 21, 42L)
+            }
+            done.addAndGet(nDocs.toLong): Unit
+          }
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    done.get() / ((System.nanoTime() - t0) / 1e9)
+  }
 }
