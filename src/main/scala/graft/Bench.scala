@@ -30,11 +30,16 @@ import java.nio.file.{Files, Paths}
  *     right before and right after the timed queries. Compare artifacts
  *     via `dedup_docs_per_sec_norm` = dedup docs/s ÷ kernel docs/s — the
  *     host-speed-independent number.
- *   - `paired_dedup`: one local[8] and one local[32] dedup leg run
- *     BACK-TO-BACK at the end (fresh session each, partitions = cores);
- *     `efficiency` = (t8/t32)/4 measured inside one throttle window — the
- *     in-artifact form of the BENCH/BASELINE.md paired scaling protocol.
- *     Disable with SPARK_GRAFT_BENCH_PAIRED=0.
+ *   - `kernel_sustained` / `dedup_norm_sustained`: ~20 s of CONTINUOUS
+ *     kernel load — a host with burst-credit CPU quotas runs the short
+ *     kernel at full speed while throttling sustained work; comparing the
+ *     two kernels flags that state.
+ *   - `paired_dedup` {t8_sec, t_hi_sec, cores_hi, efficiency}: one
+ *     local[8] and one local[SPARK_GRAFT_CPUS] dedup leg run BACK-TO-BACK
+ *     at the end (fresh session each, partitions = cores); efficiency =
+ *     (t8/t_hi)/(cores_hi/8) inside one throttle window — the in-artifact
+ *     form of the BENCH/BASELINE.md paired protocol. Skipped when cpus <
+ *     16 (degenerate); disable with SPARK_GRAFT_BENCH_PAIRED=0.
  *
  * Covers the engine's hot paths: the full near-dup pipeline on a
  * deterministic synthetic web corpus (the real workload; docs/sec reported

@@ -44,8 +44,8 @@ object KernelControl {
           }
         })
       }
-      futs.foreach(_.get())
-      pool.shutdown()
+      try futs.foreach(_.get())
+      finally pool.shutdownNow() // non-daemon threads must not outlive a failure
       threads.toLong * r * nDocs / ((System.nanoTime() - t0) / 1e9)
     }
     run(nThreads, 1) // warmup (JIT is shared JVM state, cheap re-warm)
@@ -87,8 +87,8 @@ object KernelControl {
         }
       })
     }
-    futs.foreach(_.get())
-    pool.shutdown()
+    try futs.foreach(_.get())
+    finally pool.shutdownNow()
     done.get() / ((System.nanoTime() - t0) / 1e9)
   }
 }

@@ -144,6 +144,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
             s"batch '$bad' is partially ingested — re-run addBatch(\"$bad\", ...) " +
               "to resume it before ingesting new batches")
         }
+        // Migration check BEFORE the BATCHES append: appending first would
+        // wedge the list with a stage-less id whose 'resume' re-throws this.
+        requireBucketStages(b)
         appendBatch(batchId); b
       }
     }

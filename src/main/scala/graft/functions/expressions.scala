@@ -561,6 +561,13 @@ case class SignLshExpr(child: Expression, nBits: Int, nTables: Int, seed: Long)
 }
 
 object DeleteVariantsExpr {
+  /** The engine-wide fuzzy keyspace parameters — every surface that
+    * generates variant hashes (Searcher, the persisted fuzzy_variants
+    * stage, the DataFrame/SQL function defaults) references THESE, so the
+    * query and dictionary sides can never desynchronize. */
+  val DefaultTolerance = 2
+  val DefaultMaxLen = 64
+
   /** XXH64 hashes of every string obtainable from `s` by deleting up to
     * `maxDel` code points (the string itself included), distinct. The
     * symmetric-delete fuzzy-match keyspace (Garbe's SymSpell construction):

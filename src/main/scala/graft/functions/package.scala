@@ -41,7 +41,9 @@ package object functions {
     column(BandKeysExpr(expression(sig), bands, rowsPerBand, seed))
 
   /** Symmetric-delete neighborhood hashes for bounded fuzzy matching. */
-  def delete_variants(term: Column, maxDel: Int = 2, maxLen: Int = 32): Column =
+  def delete_variants(term: Column,
+      maxDel: Int = DeleteVariantsExpr.DefaultTolerance,
+      maxLen: Int = DeleteVariantsExpr.DefaultMaxLen): Column =
     column(DeleteVariantsExpr(expression(term), maxDel, maxLen))
 
   /** Bounded per-bucket membership aggregate (see BoundedBucketAgg). */
@@ -86,6 +88,7 @@ package object functions {
     reg.createOrReplaceTempFunction("sign_lsh",
       es => SignLshExpr(es.head, 16, 8, 42L), "built-in")
     reg.createOrReplaceTempFunction("delete_variants",
-      es => DeleteVariantsExpr(es.head, 2, 32), "built-in")
+      es => DeleteVariantsExpr(es.head, DeleteVariantsExpr.DefaultTolerance,
+        DeleteVariantsExpr.DefaultMaxLen), "built-in")
   }
 }

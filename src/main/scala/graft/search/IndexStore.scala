@@ -102,6 +102,21 @@ object IndexStore {
       spark: SparkSession, root: String): SearchIndex =
     buildOrOpenGen(docs, cfg, spark, root, generation(root))
 
+  private def fuzzyFpOf(f: String): String =
+    s"$f|fuzzy=d${Searcher.FuzzyTolerance}l${Searcher.FuzzyMaxLen}"
+
+  /** The fuzzy_variants stage write, shared by build and compact (see the
+    * comment at its build-time call site). */
+  private def runFuzzyStage(store: StageStore, name: String, f: String,
+      termStatsStage: String, termStats: DataFrame): DataFrame =
+    store.runStage(name, fuzzyFpOf(f), inputs = Seq(termStatsStage),
+      sortCols = Seq("vh"), bloomCols = Seq("vh")) {
+      termStats.select(
+        explode(graft.functions.delete_variants(col("term"),
+          Searcher.FuzzyTolerance, Searcher.FuzzyMaxLen)).as("vh"),
+        col("term"), col("total"))
+    }
+
   private def buildOrOpenGen(docs: => org.apache.spark.sql.DataFrame,
       cfg: PipelineConfig, spark: SparkSession, root: String,
       gen: Int): SearchIndex = {
@@ -116,6 +131,9 @@ object IndexStore {
     val store = new StageStore(spark, root)
     val f = fp(cfg)
     def n(b: String) = stageName(b, gen)
+    // Before running anything: is this a fresh BUILD or a read-only OPEN of
+    // committed stages? An open must not write into the index root.
+    val building = !store.wouldResume(n("postings"), f)
     // Sort orders at rest (the Iceberg sort-order analogue): the search
     // path reads postings/term_stats with `term = ...` / `term IN (...)`
     // point predicates, so term-sorted row groups + a term bloom filter
@@ -140,23 +158,22 @@ object IndexStore {
     // an at-rest table, /root/reference/src/algo/bktree.c:160-275): one row
     // per (deletion-variant hash, term), vh-sorted so row groups span
     // narrow hash ranges (IN-predicate row-group pruning) with a bloom
-    // filter for point probes. Built once per generation from term_stats.
-    // The tolerance/length params shape this table's CONTENT, so they are
-    // part of its fingerprint — bumping either invalidates and rebuilds
-    // (fp(cfg) alone would silently reuse a stale neighborhood).
-    val fuzzyFp =
-      s"$f|fuzzy=d${Searcher.FuzzyTolerance}l${Searcher.FuzzyMaxLen}"
-    val fuzzy = store.runStage(n("fuzzy_variants"), fuzzyFp,
-      inputs = Seq(n("term_stats")), sortCols = Seq("vh"),
-      bloomCols = Seq("vh")) {
-      termStats.select(
-        explode(graft.functions.delete_variants(col("term"),
-          Searcher.FuzzyTolerance, Searcher.FuzzyMaxLen)).as("vh"),
-        col("term"), col("total"))
-    }
+    // filter for point probes. Built alongside a fresh build (and by
+    // compact for each fold); the tolerance/length params are part of its
+    // fingerprint — bumping either invalidates rather than silently
+    // reusing a stale neighborhood. An OPEN of an index that lacks a
+    // current fuzzy stage (pre-upgrade index, or params bumped) does NOT
+    // write one — opens stay read-only; such opens fall back to on-the-fly
+    // candidate derivation until the next build/compact.
+    val fuzzy: Option[DataFrame] =
+      if (building || store.wouldResume(n("fuzzy_variants"), fuzzyFpOf(f),
+          Seq(n("term_stats"))))
+        Some(runFuzzyStage(store, n("fuzzy_variants"), f, n("term_stats"),
+          termStats))
+      else None
     val stats = statsDf.collect()(0)
     SearchIndex(postings.drop("first_pos"), docStats, termStats,
-      stats.getLong(0), stats.getLong(1), cfg, fuzzyVariants = Some(fuzzy))
+      stats.getLong(0), stats.getLong(1), cfg, fuzzyVariants = fuzzy)
   }
 
   // ---- durable mutations ---------------------------------------------------
@@ -333,6 +350,9 @@ object IndexStore {
       state.docStats.agg(count(lit(1)).as("doc_count"),
         coalesce(sum("dl"), lit(0L)).as("token_count"))
     }
+    // the fold's fuzzy index (compact is a build — opens never write it)
+    runFuzzyStage(store, n("fuzzy_variants"), f, n("term_stats"),
+      spark.read.parquet(s"$root/${n("term_stats")}/data"))
     // commit point
     val tmp = Paths.get(root, "GENERATION.tmp")
     Files.write(tmp, next.toString.getBytes)
@@ -367,7 +387,11 @@ object IndexStore {
       if (isStage || name == "mutations" || name == "_metrics")
         graft.tables.FsUtil.deleteRecursively(new java.io.File(root, name))
     }
+    // our own crash leftovers (a .tmp beside an otherwise-complete index)
+    // are recognized artifacts too
     Files.deleteIfExists(Paths.get(root, "GENERATION"))
+    Files.deleteIfExists(Paths.get(root, "GENERATION.tmp"))
+    Files.deleteIfExists(Paths.get(root, "params.json.tmp"))
     Files.deleteIfExists(paramsPath(root))
     try Files.deleteIfExists(Paths.get(root)): Unit
     catch { case _: java.nio.file.DirectoryNotEmptyException => } // foreign files stay

@@ -78,8 +78,8 @@ object Searcher {
     * and identifiers that survive tokenization; the reference's own
     * tolerance targets query terms (bounded levenshtein 2,
     * /root/reference/src/index/idxterm.c:210-249). */
-  val FuzzyTolerance = 2
-  val FuzzyMaxLen = 64
+  val FuzzyTolerance = graft.functions.DeleteVariantsExpr.DefaultTolerance
+  val FuzzyMaxLen = graft.functions.DeleteVariantsExpr.DefaultMaxLen
 
   /** Most-popular in-dictionary term within Levenshtein distance <= 2 of
     * each unresolved query token, as (qtok, term) — one row per qtok.
@@ -104,14 +104,18 @@ object Searcher {
         .join(broadcast(queryVariants(termStats.sparkSession, unresolvedToks)),
           Seq("vh")))
 
-  /** The query tokens' variant-hash relation (qtok, vh) — tiny, broadcast. */
-  private def queryVariants(spark: org.apache.spark.sql.SparkSession,
-      toks: Seq[String]): DataFrame = {
-    import spark.implicits._
+  /** The query tokens' (qtok, variant hash) pairs — computed once per
+    * resolve; tiny, broadcast. */
+  private def queryVariantPairs(toks: Seq[String]): Seq[(String, Long)] =
     toks.flatMap { t =>
       graft.functions.DeleteVariantsExpr
         .hashArray(t, FuzzyTolerance, FuzzyMaxLen).map(h => (t, h))
-    }.toDF("qtok", "vh")
+    }
+
+  private def queryVariants(spark: org.apache.spark.sql.SparkSession,
+      toks: Seq[String]): DataFrame = {
+    import spark.implicits._
+    queryVariantPairs(toks).toDF("qtok", "vh")
   }
 
   /** Shared resolution tail for both candidate sources: exact bounded
@@ -137,10 +141,11 @@ object Searcher {
     * by construction — both join the same complete candidate keyspace. */
   def fuzzyProbe(variants: DataFrame,
       unresolvedToks: Seq[String]): DataFrame = {
-    val qv = queryVariants(variants.sparkSession, unresolvedToks)
-    val hashes = unresolvedToks.flatMap(t =>
-      graft.functions.DeleteVariantsExpr
-        .hashArray(t, FuzzyTolerance, FuzzyMaxLen)).distinct
+    val pairs = queryVariantPairs(unresolvedToks)
+    val spark = variants.sparkSession
+    import spark.implicits._
+    val qv = pairs.toDF("qtok", "vh")
+    val hashes = pairs.map(_._2).distinct
     resolveMostPopular(
       variants
         .where(col("vh").isin(hashes: _*)) // pushed to the parquet scan

@@ -58,6 +58,21 @@ final class StageStore(val spark: SparkSession, val root: String) {
   def isCommitted(name: String, fingerprint: String): Boolean =
     readManifest(name).exists(_.get("fingerprint").contains(fingerprint))
 
+  private def fingerprintFor(configFingerprint: String,
+      inputs: Seq[String]): String = {
+    val lineage = inputs.map { in =>
+      val fp = readManifest(in).flatMap(_.get("fingerprint")).getOrElse("?")
+      s"$in=$fp"
+    }.mkString(";")
+    s"$configFingerprint|$lineage".hashCode.toHexString + ":" + configFingerprint
+  }
+
+  /** True if a runStage(name, configFingerprint, inputs) call would resume
+    * (read) rather than compute — lets callers keep opens read-only. */
+  def wouldResume(name: String, configFingerprint: String,
+      inputs: Seq[String] = Nil): Boolean =
+    isCommitted(name, fingerprintFor(configFingerprint, inputs))
+
   /** Run (or resume) a stage. `inputs` are upstream stage names — their
     * fingerprints are folded into this stage's fingerprint, so an upstream
     * config change invalidates everything downstream.
@@ -81,8 +96,7 @@ final class StageStore(val spark: SparkSession, val root: String) {
       val fp = readManifest(in).flatMap(_.get("fingerprint")).getOrElse("?")
       s"$in=$fp"
     }.mkString(";")
-    val fingerprint = s"$configFingerprint|$lineage".hashCode.toHexString +
-      ":" + configFingerprint
+    val fingerprint = fingerprintFor(configFingerprint, inputs)
     if (isCommitted(name, fingerprint)) {
       spark.read.parquet(dataDir(name))
     } else {

@@ -257,6 +257,22 @@ class IndexStoreSpec extends AnyFunSuite {
     val z = Searcher.fuzzyProbe(idx3.fuzzyVariants.get, Seq("zebraa"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(z.get("zebraa").contains("zebra"), z)
+
+    // OPENS ARE READ-ONLY: an index whose fuzzy stage is missing (built
+    // before the fuzzy index existed, or its params were bumped) opens
+    // with the derive fallback and writes NOTHING into the root
+    val gen = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "GENERATION")).trim.toInt
+    val fuzzyDir = new java.io.File(root, s"fuzzy_variants@$gen")
+    assert(fuzzyDir.isDirectory)
+    graft.tables.FsUtil.deleteRecursively(fuzzyDir)
+    val idx4 = IndexStore.openIndex(spark, root)
+    assert(idx4.fuzzyVariants.isEmpty)
+    assert(!fuzzyDir.exists(), "open must not write the fuzzy stage")
+    // and search still fuzzy-resolves through the derive path
+    val viaDerive = Searcher.search(idx4, "zebraa", fuzzy = true)
+      .fold(e => fail(e), _.select("doc_id").as[Long].collect().toSet)
+    assert(viaDerive == Set(9L), viaDerive)
   }
 
   test("destroy removes only recognized index artifacts (nxs.c:303-345)") {
