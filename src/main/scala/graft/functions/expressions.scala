@@ -514,8 +514,9 @@ object SignLshExpr {
   }
 
   /** Allocation-free per-row weight derivation (identical mix chain) for
-    * dims too large to intern. */
-  private def bucketsDerived(vec: ArrayData, nBits: Int, nTables: Int,
+    * dims too large to intern. Package-visible so the spec can pin the
+    * cached ≡ derived equality. */
+  private[functions] def bucketsDerived(vec: ArrayData, nBits: Int, nTables: Int,
       seed: Long): ArrayData = {
     val dim = vec.numElements()
     val out = new Array[Long](nTables)

@@ -122,6 +122,39 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("not registered")), msgs(err).mkString("|"))
   }
 
+  test("vec_cosine: ragged rows degrade to null (codegen path), not a crash") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(0.5f)), // dimension mismatch -> null
+      (3L, Seq(0.0f, 0.0f), Seq(0.0f, 1.0f))) // zero vector -> 0.0
+      .toDF("id", "a", "b")
+    val got = df.select($"id", vec_cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty, got.toString) // null, job survives
+    assert(got(3L).contains(0.0))
+    // whole relation still evaluates (one bad row cannot kill the job)
+    assert(df.select(vec_cosine($"a", $"b")).count() == 3)
+  }
+
+  test("sign_lsh: over-cap dims use the allocation-free derived path, deterministically") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def vec(dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+      new GenericArrayData((0 until dim).map(i => (i % 7 - 3).toFloat: Any).toArray)
+    // big dim (> MAX_CACHED_DIM = 4096): no interning, same value on repeat
+    val big1 = SignLshExpr.buckets(vec(5000), 16, 8, 42L)
+    val big2 = SignLshExpr.buckets(vec(5000), 16, 8, 42L)
+    assert((0 until 8).forall(i => big1.getLong(i) == big2.getLong(i)))
+    // cached ≡ derived: same mix chain, bit-identical keys for any dim
+    for (dim <- Seq(1, 16, 64, 300)) {
+      val cached = SignLshExpr.buckets(vec(dim), 16, 8, 42L)
+      val derived = SignLshExpr.bucketsDerived(vec(dim), 16, 8, 42L)
+      assert((0 until 8).forall(i => cached.getLong(i) == derived.getLong(i)),
+        s"dim=$dim")
+    }
+  }
+
   test("expressions stay in WholeStageCodegen") {
     val df = spark.range(10).select(
       nxs_simhash(nxs_tokenize(concat(lit("text number "), $"id"))).as("h"))
