@@ -20,8 +20,11 @@ object Verify {
     import org.apache.spark.sql.functions._
     import graft.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // null text dumps as EMPTY token set (not NULL columns) so ops and
+    // oracles agree on text-less documents (singletons / zero fingerprints)
     docs.select(col("doc_id"),
-        nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("tokens"))
+        nxs_tokenize(coalesce(col("text"), lit("")),
+          coalesce(col("lang"), lit("en"))).as("tokens"))
       .withColumn("token_hashes", transform(col("tokens"), t => xxhash64(t)))
       .withColumn("shingles", nxs_shingles(col("tokens")))
       .withColumn("sig", nxs_minhash(col("shingles")))

@@ -83,6 +83,7 @@ object MediaCodecs {
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
     require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
+    require(channels > 0, s"invalid channel count $channels")
     val nFrames = dataLen / (2 * channels)
     var sumSq = 0.0; var peak = 0.0
     var i = 0

@@ -202,7 +202,9 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val body = bytes.length - 13
-        (0 until n).map { f =>
+        // header-only blobs have no frames to sample
+        if (body <= 0) Nil
+        else (0 until n).map { f =>
           val off = 13L + (body.toLong * f) / n
           Frame(id, f, off,
             graft.corpus.SyntheticCorpus.mix2(id, bytes(off.toInt).toLong))

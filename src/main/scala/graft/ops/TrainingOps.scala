@@ -29,7 +29,7 @@ object TrainingOps {
     * stream (DuckDB string_split equivalent). The full reference pipeline
     * (`nxs_tokenize`) is used by the non-SQL ops; this split variant exists
     * so the relational plumbing is DuckDB-verifiable end-to-end. */
-  private def splitTokens(df: DataFrame): DataFrame =
+  private[ops] def splitTokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
@@ -76,7 +76,13 @@ object TrainingOps {
     val pages = documents(spark, dir)
       .select(col("doc_id").cast("string").as("url"),
         lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
-        lit(null: Array[Byte]).as("html"), col("text"),
+        lit(null: Array[Byte]).as("html"),
+        // null text reads as EMPTY text here: the oracle dump keeps every
+        // document row, so the op must keep null-text docs as singletons
+        // rather than dropping them (DedupPipeline.signatures itself skips
+        // text-less pages — a production contract this query table opts
+        // out of for oracle parity)
+        coalesce(col("text"), lit("")).as("text"),
         coalesce(col("lang"), lit("en")).as("lang"))
     DedupPipeline.signatures(pages, cfg)
       .withColumn("doc_id", col("url").cast("long"))
@@ -85,7 +91,16 @@ object TrainingOps {
   /** MinHash+LSH near-dup clusters over documents (reference pipeline
     * tokens). Oracle: DuckDB re-derives band collisions (sig-slice
     * equality), exact Jaccard >= tau, and the connected components (via
-    * recursive transitive closure) from the dumped signatures. */
+    * recursive transitive closure) from the dumped signatures.
+    *
+    * Equivalence premise (shared with q_incremental_dedup): the oracle
+    * enumerates ALL band-colliding pairs, which equals the op exactly while
+    * no band bucket exceeds smallCap — the driver testdata's dup groups are
+    * well under the cap. On a hot-bucket corpus the op's star fallback can
+    * split a cluster the uncapped oracle keeps (a pair verifying against
+    * each other but not against the bucket-min); q_simhash_pairs shows the
+    * capped-oracle modeling for that regime, and bucketStats makes the
+    * over-cap population observable either way. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runSimhash = false, runWinnow = false)
     DedupPipeline.clustersFromSigs(docSigs(spark, dir, cfg), cfg)
@@ -100,13 +115,17 @@ object TrainingOps {
     * over-cap — see IncrementalDedup's monotonicity contract). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runSimhash = false, runWinnow = false)
-    val root = java.nio.file.Files.createTempDirectory("graft_incq").toString
+    // Deterministic temp root, cleared on entry: repeated verification runs
+    // reuse ONE store path instead of leaking a full parquet store per call.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incq_op"
+    graft.tables.FsUtil.deleteRecursively(new java.io.File(root))
     val inc = new graft.dedup.IncrementalDedup(spark, root, cfg)
     def pages(parity: Int) = documents(spark, dir)
       .select(col("doc_id"),
         col("doc_id").cast("string").as("url"),
         lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
-        lit(null: Array[Byte]).as("html"), col("text"),
+        lit(null: Array[Byte]).as("html"),
+        coalesce(col("text"), lit("")).as("text"), // same contract as docSigs
         coalesce(col("lang"), lit("en")).as("lang"))
       .where(pmod(col("doc_id"), lit(2)) === parity)
     inc.addBatch("even", pages(0))
@@ -137,7 +156,9 @@ object TrainingOps {
     * the observability side of simhashDedup's completeness contract:
     * `over_cap` counts the buckets that fell back to star pairs. */
   def simhashBlockStats(spark: SparkSession, dir: String,
-      smallCap: Int = 16): DataFrame = {
+      smallCap: Int = DedupConfig().smallCap): DataFrame = {
+    // over_cap must count with the SAME threshold the pass star-falls-back
+    // at — the default tracks DedupConfig, never a parallel literal
     val cfg = DedupConfig(runMinhash = false, runWinnow = false)
     val sigs = docSigs(spark, dir, cfg)
     val nBlocks = cfg.simhashMaxHamming + 1
@@ -174,23 +195,30 @@ object TrainingOps {
     * two docs at a consistent position delta delimit a candidate run
     * [min_a .. max_a + a); the run is then extended left/right over the
     * token-hash arrays until the first mismatching token, and the pair's
-    * span is the max over delta groups. For a true shared run the winnowing
-    * guarantee places anchors inside it and the extension recovers the EXACT
-    * run length in tokens. Every step (delta grouping, mismatch-scan
-    * extension via filter-over-range) is re-derived 1:1 by the DuckDB oracle
-    * from the dumped positioned anchors + token hashes.
+    * span is the max over delta groups. When a delta group's anchors lie in
+    * ONE contiguous shared run — the winnowing case for a single duplicated
+    * region — the extension recovers the EXACT run length in tokens. A pair
+    * with several DISJOINT shared runs at the SAME delta (e.g. equal-length
+    * header and footer around differing bodies) reports the combined extent
+    * of the anchor region instead — an upper bound; the interior is not
+    * re-validated. Every step (delta grouping, mismatch-scan extension via
+    * filter-over-range) is re-derived 1:1 by the DuckDB oracle from the
+    * dumped positioned anchors + token hashes, including that bound.
     *
     * Scale shape: anchors explode + one fp-bucket aggregate (same as the
     * winnow pass), pair set is star-bounded, and the extension joins ship
     * token-hash arrays only for the (few) matched pairs. */
   def winnowSpans(spark: SparkSession, dir: String, a: Int = 20,
       win: Int = 11, seed: Long = 42L): DataFrame = {
-    val docs = documents(spark, dir)
+    // materialized: both the anchor explode and the token-hash join read
+    // this, and without a checkpoint each consumer re-runs the tokenize
+    // kernel over the corpus
+    val docs = graft.dedup.Materialize(documents(spark, dir)
       .select(col("doc_id"),
         nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("toks"))
       .select(col("doc_id"),
         transform(col("toks"), t => xxhash64(t)).as("th"),
-        nxs_winnow_pos(col("toks"), a, win, seed).as("anchors"))
+        nxs_winnow_pos(col("toks"), a, win, seed).as("anchors")))
     val f = docs.select(col("doc_id"), explode(col("anchors")).as("an"))
       .select(col("doc_id"), col("an.fp").as("fp"), col("an.pos").as("pos"))
     // star pairs per shared fingerprint — the same edge set as winnowDups
@@ -390,7 +418,8 @@ object TrainingOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
     d.select(col("doc_id"),
-        nxs_tokenize(col("text"), coalesce(col("lang"), lit("en"))).as("toks"))
+        nxs_tokenize(coalesce(col("text"), lit("")),
+          coalesce(col("lang"), lit("en"))).as("toks"))
       .select(col("doc_id"),
         nxs_simhash(col("toks")).as("simhash"),
         size(nxs_winnow(col("toks"), 8, 5, 42L)).as("n_fingerprints"))
@@ -434,9 +463,7 @@ object RelationalOps {
   import TrainingOps.documents
 
   def splitPostings(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .where(col("term") =!= "")
+    TrainingOps.splitTokens(documents(spark, dir))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
 
   def termStats(spark: SparkSession, dir: String): DataFrame =
@@ -493,7 +520,9 @@ object RelationalOps {
     val post = splitPostings(spark, dir)
     def docsWith(t: String) = post.where(col("term") === t).select("doc_id")
     docsWith("spark")
-      .join(docsWith("hash").unionByName(docsWith("join")).distinct(),
+      // no distinct on the OR union: left-semi semantics ignore right-side
+      // duplicates, so the reference's or_inplace dedup is free here
+      .join(docsWith("hash").unionByName(docsWith("join")),
         Seq("doc_id"), "left_semi")
       .join(docsWith("slow"), Seq("doc_id"), "left_anti")
   }
