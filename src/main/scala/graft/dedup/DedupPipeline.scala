@@ -366,6 +366,23 @@ object DedupPipeline {
     candidateEdges(sigs, cfg.copy(runMinhash = false, runSimhash = false))
       .select("src", "dst")
 
+  /** Shared label→cluster resolve: left-join labels (unlabeled docs are
+    * their own singleton cluster), champion = earliest (warc_ts, url) —
+    * deterministic, replay-stable tie-break. ONE definition for the batch,
+    * checkpointed-runner, and incremental paths. */
+  private[graft] def resolveClusters(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val labeled = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .drop("comp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("warc_ts"), col("url"))
+    labeled
+      .withColumn("is_champion", row_number().over(w) === 1)
+      .select("url", "doc_id", "cluster_id", "is_champion")
+  }
+
   /** End-to-end: pages → clusters(url, doc_id, cluster_id, is_champion).
     * cluster_id = min doc_id in the component; champion = earliest
     * (warc_ts, url) — deterministic, replay-stable tie-break. */
@@ -397,14 +414,6 @@ object DedupPipeline {
     // the narrow doc projection and release the blocks.
     val docs = Materialize(sigs.select("url", "doc_id", "warc_ts"))
     Materialize.release(sigs)
-    val labeled = docs
-      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
-      .drop("comp")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("warc_ts"), col("url"))
-    labeled
-      .withColumn("is_champion", row_number().over(w) === 1)
-      .select("url", "doc_id", "cluster_id", "is_champion")
+    resolveClusters(docs, comps)
   }
 }

@@ -15,7 +15,8 @@ object DedupRunner {
   def fingerprint(cfg: DedupConfig): String =
     s"w${cfg.shingleW}k${cfg.minhashK}b${cfg.bands}r${cfg.rowsPerBand}" +
       s"t${cfg.tau}h${cfg.simhashMaxHamming}a${cfg.winnowA}" +
-      s"win${cfg.winnowWindow}s${cfg.seed}" +
+      s"win${cfg.winnowWindow}s${cfg.seed}cap${cfg.smallCap}" +
+      s"bc${cfg.broadcastOverCapKeys}" +
       s"m${cfg.runMinhash}sh${cfg.runSimhash}wn${cfg.runWinnow}"
 
   /** pages → clusters, checkpointed under `ckptRoot`. */
@@ -38,17 +39,8 @@ object DedupRunner {
       ConnectedComponents.run(edges)
     }
     store.runStage("clusters", fp, inputs = Seq("signatures", "cc_labels")) {
-      import org.apache.spark.sql.functions._
-      val docs = sigs.select("url", "doc_id", "warc_ts")
-      val labeled = docs
-        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
-        .drop("comp")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster_id").orderBy(col("warc_ts"), col("url"))
-      labeled
-        .withColumn("is_champion", row_number().over(w) === 1)
-        .select("url", "doc_id", "cluster_id", "is_champion")
+      DedupPipeline.resolveClusters(
+        sigs.select("url", "doc_id", "warc_ts"), labels)
     }
   }
 

@@ -70,6 +70,30 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   }
 
   private def batchesPath = Paths.get(root, "BATCHES")
+  private def configPath = Paths.get(root, "CONFIG")
+
+  /** The store is single-config: the persisted bucket/signature keys are
+    * functions of the shingle/band/seed parameters, so a batch ingested
+    * with a DIFFERENT config would silently never collide with stored
+    * documents (cross-batch recall quietly gone). First ingest pins the
+    * config; every later construction must match — the dedup-layer
+    * analogue of IndexStore.requireParamsMatch. */
+  private def requireConfigMatch(): Unit = {
+    if (Files.exists(configPath)) {
+      val stored = new String(Files.readAllBytes(configPath)).trim
+      if (stored != cfgFp)
+        throw new IllegalArgumentException(
+          s"store at $root was built with config [$stored] but this " +
+            s"IncrementalDedup carries [$cfgFp] — use the original config " +
+            "or a fresh root")
+    } else {
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, "CONFIG.tmp")
+      Files.write(tmp, cfgFp.getBytes)
+      Files.move(tmp, configPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** Committed batch ids, ingest order (a compacted store lists its single
     * fold id). */
@@ -130,6 +154,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * recomputes (StageStore fingerprints). Documents whose doc_id is
     * already stored are rejected, like the reference's duplicate-id add. */
   def addBatch(batchId: String, pages: => DataFrame): DataFrame = {
+    requireConfigMatch()
     val prior = {
       val b = batches()
       if (b.contains(batchId)) b.takeWhile(_ != batchId)
@@ -163,10 +188,19 @@ final class IncrementalDedup(spark: SparkSession, root: String,
             graft.functions.nxs_band_keys(col("sig"), cfg.bands,
               cfg.rowsPerBand, cfg.seed)).drop("sig")
         else raw
+      // duplicate ids WITHIN the batch (same url fetched twice in one
+      // crawl) keep the earliest (warc_ts, url) copy — the in-batch form
+      // of the reference's duplicate-id rejection; cheap here because the
+      // window runs over the delta only
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("warc_ts"), col("url"))
+      val deduped = trimmed
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
       readSigs(prior) match {
         case Some(stored) =>
-          trimmed.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
-        case None => trimmed
+          deduped.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => deduped
       }
     }
     // The batch's bucket rows, appended as one partitioned stage: this is
@@ -317,15 +351,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     require(ids.nonEmpty, "no batches ingested")
     val docs = readSigs(ids).get.select("url", "doc_id", "warc_ts")
     val labels = spark.read.parquet(s"$root/${labelStage(ids.last)}/data")
-    val labeled = docs
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
-      .drop("comp")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("warc_ts"), col("url"))
-    labeled
-      .withColumn("is_champion", row_number().over(w) === 1)
-      .select("url", "doc_id", "cluster_id", "is_champion")
+    DedupPipeline.resolveClusters(docs, labels)
   }
 }
 

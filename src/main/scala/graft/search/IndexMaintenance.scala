@@ -105,7 +105,10 @@ object IndexMaintenance {
         (coalesce(col("total"), lit(0L)) + coalesce(col("d_total"), lit(0L))).as("total"))
     SearchIndex(postings, docStats, termStats,
       idx.docCount + delta.docCount, idx.tokenCount + delta.tokenCount,
-      idx.pipeline)
+      idx.pipeline,
+      // the delta's build() cached three plans; keep their handles so the
+      // merged index's unpersist() actually releases them
+      cached = idx.cached ++ delta.cached)
   }
 
   /** S9 — JSON response in the reference wire shape

@@ -126,8 +126,17 @@ object IndexStore {
         "(graft.text.CustomFilters)")
     // Persist (or explicitly update, on a deliberate rebuild-with-new-params)
     // the pipeline params before the stages: the reference's params.db write
-    // at index create (params.c:159-198).
-    if (!readParams(root).map(fp).contains(fp(cfg))) writeParams(root, cfg)
+    // at index create (params.c:159-198). A rebuild with DIFFERENT params
+    // also drops the mutation log: its postings/term_ids were tokenized
+    // under the old pipeline and replaying them onto the new base would mix
+    // configs and collide term ids.
+    val stored = readParams(root)
+    if (!stored.map(fp).contains(fp(cfg))) {
+      if (stored.isDefined)
+        graft.tables.FsUtil.deleteRecursively(
+          new java.io.File(s"$root/mutations"))
+      writeParams(root, cfg)
+    }
     val store = new StageStore(spark, root)
     val f = fp(cfg)
     def n(b: String) = stageName(b, gen)
@@ -422,6 +431,9 @@ object IndexStore {
     * marker append, dtmap.c:546-655), then returns the refreshed index. */
   def removeDocs(docs: => DataFrame, cfg: PipelineConfig, spark: SparkSession,
       root: String, tombstones: DataFrame): SearchIndex = {
+    // validate BEFORE the durable commit — a rejected call must not have
+    // already published tombstones (addDocs validates via its open too)
+    requireParamsMatch(root, cfg)
     commitMutation(root, nextSeq(root), "remove",
       Seq("tombstones" -> tombstones.select("doc_id").distinct()))
     openIndex(docs, cfg, spark, root)

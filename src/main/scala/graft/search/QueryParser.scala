@@ -79,6 +79,13 @@ object QueryParser {
         val tok =
           if (quotedEnd >= ffEnd && quotedEnd > i) {
             val t = TStr(q.substring(i + 1, quotedEnd - 1), quoted = true)
+            // quoted strings may span lines: keep line:offset accounting
+            // honest for every token after them
+            var k = i
+            while (k < quotedEnd) {
+              if (q.charAt(k) == '\n') { line += 1; lineStart = k + 1 }
+              k += 1
+            }
             i = quotedEnd
             t
           } else {

@@ -196,7 +196,10 @@ object Searcher {
     QueryParser.parse(query).map { root =>
       val p = prepare(idx, root, fuzzy)
       val queryTerms = p.resolved.values.toSeq.distinct
-      if (queryTerms.isEmpty) {
+      // docCount == 0 happens with a live dictionary: fully-deleted terms
+      // stay interned (df=0) after every doc is removed — resolve succeeds
+      // but there is nothing to score (and the BM25 adl would divide 0/0)
+      if (queryTerms.isEmpty || idx.docCount == 0) {
         idx.postings.select(col("doc_id"), lit(0.0).as("score")).limit(0)
       } else {
         val docs = evalDocs(idx, p, root)

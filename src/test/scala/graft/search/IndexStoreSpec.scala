@@ -303,5 +303,9 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e2.startsWith("syntax error near 2:"), e2)
     val e3 = QueryParser.parse(")").left.getOrElse(fail("err"))
     assert(e3.contains("1:0"), e3)
+    // a newline INSIDE a quoted token must advance the line accounting for
+    // everything after it
+    val e4 = QueryParser.parse("\"a\nb\" AND )").left.getOrElse(fail("err"))
+    assert(e4.startsWith("syntax error near 2:"), e4)
   }
 }
