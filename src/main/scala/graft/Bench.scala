@@ -34,12 +34,15 @@ import java.nio.file.{Files, Paths}
  *     kernel load — a host with burst-credit CPU quotas runs the short
  *     kernel at full speed while throttling sustained work; comparing the
  *     two kernels flags that state.
- *   - `paired_dedup` {t8_sec, t_hi_sec, cores_hi, efficiency}: one
- *     local[8] and one local[SPARK_GRAFT_CPUS] dedup leg run BACK-TO-BACK
- *     at the end (fresh session each, partitions = cores); efficiency =
- *     (t8/t_hi)/(cores_hi/8) inside one throttle window — the in-artifact
- *     form of the BENCH/BASELINE.md paired protocol. Skipped when cpus <
- *     16 (degenerate); disable with SPARK_GRAFT_BENCH_PAIRED=0.
+ *   - `paired_dedup` {pairs, n_valid, efficiency_median,
+ *     paired_consistent}: SPARK_GRAFT_BENCH_PAIRS (default 3) ALTERNATING
+ *     local[8]/local[SPARK_GRAFT_CPUS] dedup pairs at the end (fresh
+ *     session each, partitions = cores); pairs with t8 < t_hi are
+ *     throttle-storm corruption and are DISCARDED; efficiency_median =
+ *     median (t8/t_hi)/(cores_hi/8) over surviving pairs, and
+ *     paired_consistent=false marks an artifact whose paired read should
+ *     defer to the ≥5-pair graft.bench.ScalingBench protocol. Skipped when
+ *     cpus < 16 (degenerate); disable with SPARK_GRAFT_BENCH_PAIRED=0.
  *
  * Covers the engine's hot paths: the full near-dup pipeline on a
  * deterministic synthetic web corpus (the real workload; docs/sec reported
@@ -227,12 +230,27 @@ object Bench {
         s.stop()
         t
       }
-      val t8 = leg(8)
-      val tHi = leg(cpus)
-      val eff = (t8 / tHi) / (cpus / 8.0)
+      // Alternating pairs with the ScalingBench storm-discard rule: the
+      // host's burst-credit throttle can flip MID-PAIR, and a pair where
+      // the 8-core leg beats the high-core leg (t8 < t_hi) is physically
+      // impossible for this job absent a throttle flip — such pairs are
+      // measurement corruption, not data, and are discarded rather than
+      // averaged (BENCH_r04's single pair read 0.3052 inside a storm its
+      // own kernel controls flagged). Reported: the median pairwise ratio
+      // over the surviving pairs + a paired_consistent flag (false when any
+      // pair was discarded — read the ≥5-pair ScalingBench run instead).
+      val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+      val pairs = (1 to nPairs).map { _ => (leg(8), leg(cpus)) }
+      val valid = pairs.filter { case (t8, tHi) => t8 >= tHi }
+      val effs = valid.map { case (t8, tHi) => (t8 / tHi) / (cpus / 8.0) }.sorted
+      val effMed = if (effs.isEmpty) -1.0 else effs(effs.size / 2)
+      val consistent = valid.size == pairs.size
+      val pairsJson = pairs.map { case (t8, tHi) =>
+        f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f}""" }.mkString("[", ",", "]")
       emit(
-        f""","paired_dedup":{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f,""" +
-        f""""cores_hi":$cpus,"efficiency":$eff%.4f}""")
+        f""","paired_dedup":{"pairs":$pairsJson,"cores_hi":$cpus,""" +
+        f""""n_pairs":$nPairs,"n_valid":${valid.size},""" +
+        f""""efficiency_median":$effMed%.4f,"paired_consistent":$consistent}""")
     } else spark.stop()
   }
 }

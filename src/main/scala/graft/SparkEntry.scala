@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Jaccard, winnowing star edges + anchor-extended span evidence),
   * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
   * (lang-id, quality, token counts, fingerprints), and event
-  * windowing/sessionization — 28 queries, each with a DuckDB oracle.
+  * windowing/sessionization — 29 queries, each with a DuckDB oracle.
   * Every query has a DuckDB oracle in `oracleSql` with matching column
   * names. Queries whose math is directly SQL-expressible are recomputed from
   * the input tables; the signature-based ones (minhash/simhash/winnow/ann/

@@ -367,19 +367,31 @@ object DedupPipeline {
       .select("src", "dst")
 
   /** Shared label→cluster resolve: left-join labels (unlabeled docs are
-    * their own singleton cluster), champion = earliest (warc_ts, url) —
-    * deterministic, replay-stable tie-break. ONE definition for the batch,
-    * checkpointed-runner, and incremental paths. */
+    * their own singleton cluster), champion = earliest (warc_ts, url,
+    * doc_id) — deterministic, replay-stable, TOTAL tie-break. ONE definition
+    * for the batch, checkpointed-runner, and incremental paths.
+    *
+    * Champion selection is a struct-min AGGREGATE + equi-join back, not a
+    * row_number window: a window sorts each cluster_id partition in ONE
+    * task, so a parked-domain mega-cluster (10⁷–10⁸ members is exactly what
+    * the star-edge candidate design anticipates) would serialize on a single
+    * executor — and AQE's skew handling splits joins, never windows. The min
+    * aggregate is map-side combinable (every partition reduces its share of
+    * the giant cluster to one row before the shuffle) and the join back is a
+    * plain equi-join that AQE can skew-split. */
   private[graft] def resolveClusters(docs: DataFrame,
       labels: DataFrame): DataFrame = {
     val labeled = docs
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("warc_ts"), col("url"))
+    val champs = labeled
+      .groupBy("cluster_id")
+      .agg(min(struct(col("warc_ts"), col("url"), col("doc_id"))).as("c"))
+      .select(col("cluster_id"), col("c.doc_id").as("champ_id"))
     labeled
-      .withColumn("is_champion", row_number().over(w) === 1)
+      .join(champs, Seq("cluster_id"))
+      .withColumn("is_champion", col("doc_id") === col("champ_id"))
       .select("url", "doc_id", "cluster_id", "is_champion")
   }
 

@@ -11,11 +11,14 @@ import scala.jdk.CollectionConverters._
  * Incremental near-duplicate clustering — the batch-ingest form of
  * DedupPipeline for pipelines that receive the corpus in increments (daily
  * crawls): each batch is signed once, candidate generation touches ONLY the
- * buckets the new documents land in, and the cluster labels are advanced by
- * running connected components over (new verified edges ∪ the previous
- * labels re-expressed as star edges). Nothing re-signs, re-buckets, or
- * re-pairs the existing corpus; per-batch cost is O(delta + touched-bucket
- * membership).
+ * buckets the new documents land in, verification reads stored signatures
+ * only for the candidates' endpoints (doc_id pushdown), and the cluster
+ * labels are advanced by running connected components over (new verified
+ * edges ∪ the prior labels of TOUCHED components only, re-expressed as star
+ * edges) with every untouched label passing through verbatim
+ * (relabelInputs). Nothing re-signs, re-buckets, re-pairs, re-verifies, or
+ * re-labels the existing corpus; per-batch cost is O(delta + touched-bucket
+ * membership + touched-component membership).
  *
  * This mirrors the reference's incremental index add (append new term/doc
  * blocks, re-sync readers — /root/reference/src/index/terms.c:320-414,
@@ -78,7 +81,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * documents (cross-batch recall quietly gone). First ingest pins the
     * config; every later construction must match — the dedup-layer
     * analogue of IndexStore.requireParamsMatch. */
-  private def requireConfigMatch(): Unit = {
+  private def requireConfigMatch(pin: Boolean = false): Unit = {
     if (Files.exists(configPath)) {
       val stored = new String(Files.readAllBytes(configPath)).trim
       if (stored != cfgFp)
@@ -86,7 +89,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
           s"store at $root was built with config [$stored] but this " +
             s"IncrementalDedup carries [$cfgFp] — use the original config " +
             "or a fresh root")
-    } else {
+    } else if (pin) { // only the ingest path pins a fresh store's config
       Files.createDirectories(Paths.get(root))
       val tmp = Paths.get(root, "CONFIG.tmp")
       Files.write(tmp, cfgFp.getBytes)
@@ -122,6 +125,24 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     ids.map(id => spark.read.parquet(s"$root/${sigStage(id)}/data"))
       .reduceOption(_ unionByName _)
 
+  /** Stored signatures restricted to `docIds` — the sigs stages are written
+    * doc_id-sorted with a doc_id bloom filter (the same at-rest mechanism as
+    * the index's term/vh stages), so a small key set pushes `doc_id IN
+    * (...)` into every stage scan: row groups + bloom filters prune AT REST
+    * and the read costs O(|docIds|), not O(stored corpus). Key sets past
+    * `MaxSigIdPushdown` fall back to a semi-join (no driver-side giant
+    * IN-literal, no codegen bloat) — still row-pruned before any wide-array
+    * column ships, just without the at-rest scan skip. */
+  private[dedup] def readSigsFor(ids: Seq[String], docIds: DataFrame): DataFrame = {
+    val all = readSigs(ids).get
+    val sample = docIds.limit(IncrementalDedup.MaxSigIdPushdown + 1).collect()
+    if (sample.length <= IncrementalDedup.MaxSigIdPushdown) {
+      val keys = sample.map(_.getLong(0))
+      all.where(col("doc_id").isin(keys: _*)) // pushed to the parquet scan
+    } else
+      all.join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   /** The stored bucket relation of `ids`, read with a STATIC partition
     * filter on the touched bucket partitions — the filter is applied per
     * stage scan (before the union), so every scan prunes to the `bpt`
@@ -154,7 +175,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * recomputes (StageStore fingerprints). Documents whose doc_id is
     * already stored are rejected, like the reference's duplicate-id add. */
   def addBatch(batchId: String, pages: => DataFrame): DataFrame = {
-    requireConfigMatch()
+    requireConfigMatch(pin = true)
     val prior = {
       val b = batches()
       if (b.contains(batchId)) b.takeWhile(_ != batchId)
@@ -177,8 +198,11 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     }
     requireBucketStages(prior)
     val priorSigStages = prior.map(sigStage)
+    // doc_id sort + bloom at rest: every later batch's delta-verify and
+    // duplicate-id reads probe these stages by doc_id key sets (readSigsFor)
     val sigsNew = store.runStage(sigStage(batchId), cfgFp,
-      inputs = priorSigStages) {
+      inputs = priorSigStages,
+      sortCols = Seq("doc_id"), bloomCols = Seq("doc_id")) {
       val raw = DedupPipeline.signatures(pages, cfg)
       // store the 16 band keys instead of the 128-long sig (same trim as
       // clustersFromSigs — the store is read every subsequent batch)
@@ -214,27 +238,71 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       inputs = priorSigStages ++ prior.map(bucketStage) ++
         prior.lastOption.map(labelStage).toSeq ++
         Seq(sigStage(batchId), bucketStage(batchId))) {
-      val newEdges =
-        if (prior.isEmpty) DedupPipeline.edgesRaw(sigsNew, cfg)
-        else deltaEdges(readSigs(prior).get, prior, sigsNew, bucketsNew)
-      val priorLabelEdges = prior.lastOption.map { last =>
-        spark.read.parquet(s"$root/${labelStage(last)}/data")
-          .where(col("id") =!= col("comp"))
-          .select(col("id").as("src"), col("comp").as("dst"))
+      prior.lastOption match {
+        case None =>
+          ConnectedComponents.run(DedupPipeline.edgesRaw(sigsNew, cfg))
+            .select(col("id"), col("comp"))
+        case Some(last) =>
+          val newEdges = Materialize(
+            deltaEdges(prior, sigsNew, bucketsNew).select("src", "dst"))
+          val priorLabels = spark.read
+            .parquet(s"$root/${labelStage(last)}/data").select("id", "comp")
+          val (ccInput, untouched) = relabelInputs(priorLabels, newEdges)
+          val out = ConnectedComponents.run(ccInput).select(col("id"), col("comp"))
+            .unionByName(untouched)
+          Materialize.release(newEdges)
+          out
       }
-      val edges = (Seq(newEdges.select("src", "dst")) ++ priorLabelEdges)
-        .reduce(_ unionByName _)
-      ConnectedComponents.run(edges).select(col("id"), col("comp"))
     }
     labels
+  }
+
+  /** Touched-component-scoped label advancement: the CC input is the new
+    * verified edges plus the prior labels of ONLY the components a new edge
+    * touches, re-expressed as star edges; every other prior label passes
+    * through verbatim. Per-batch relabel cost is O(delta + touched-component
+    * membership), not O(every labeled doc so far) — the label-store analogue
+    * of the reference's consume-only-new-bytes incremental sync
+    * (/root/reference/src/index/terms.c:320-344).
+    *
+    * Labels are IDENTICAL to running CC over (new edges ∪ all prior label
+    * stars): duplicate links are monotone (never removed), so a component
+    * with no new incident edge cannot change — its stored comp is already
+    * the min member id — and a touched component's members ∪ new-edge
+    * endpoints are exactly the nodes of its connected subgraph in the full
+    * graph, so scoped CC computes the same min. Exposed private[dedup] so
+    * the spec can assert the CC-input row count stays delta-scoped. */
+  private[dedup] def relabelInputs(priorLabels: DataFrame,
+      newEdges: DataFrame): (DataFrame, DataFrame) = {
+    val endpoints = newEdges.select(col("src").as("id"))
+      .unionByName(newEdges.select(col("dst").as("id"))).distinct()
+    // comps containing a new-edge endpoint: delta-bounded (≤ |endpoints|),
+    // materialized once — it gates BOTH the star semi-join and the
+    // pass-through anti-join, and without a checkpoint each consumer would
+    // re-run the label⋈endpoint join.
+    val touchedComps = Materialize(
+      priorLabels.join(endpoints, Seq("id"), "left_semi")
+        .select("comp").distinct())
+    val touchedStars = priorLabels
+      .join(touchedComps, Seq("comp"), "left_semi")
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("src"), col("comp").as("dst"))
+    val ccInput = newEdges.select("src", "dst").unionByName(touchedStars)
+    val untouched = priorLabels
+      .join(touchedComps, Seq("comp"), "left_anti")
+      .select("id", "comp")
+    (ccInput, untouched)
   }
 
   /** Verified edges involving at least one new document. The stored side is
     * the persisted bucket table read with (1) a static `bpt IN (touched)`
     * partition filter — pruned at the scan — then (2) a left-semi join on
     * the exact (pass, bucket_key) key set of the new batch; per-batch cost
-    * scales with the delta and its touched buckets, not the corpus. */
-  private def deltaEdges(stored: DataFrame, priorIds: Seq[String],
+    * scales with the delta and its touched buckets, not the corpus. The
+    * verify step reads stored signatures ONLY for the candidate pairs' old
+    * endpoints (readSigsFor — doc_id pushdown against the sorted + bloomed
+    * sigs stages), so no step of delta ingest scans the stored corpus. */
+  private[dedup] def deltaEdges(priorIds: Seq[String],
       sigsNew: DataFrame, bucketsNew: DataFrame): DataFrame = {
     import DedupPipeline.{PassMinhash, PassSimhash, PassWinnow}
     val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
@@ -251,14 +319,20 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // keep only pairs that involve a new document — old-old pairs in a
     // touched bucket were found when their docs arrived
     val newIds = sigsNew.select("doc_id")
-    val candDelta = cand
+    val candDelta = Materialize(cand
       .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
         Seq("src"), "left_semi")
       .unionByName(cand
         .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
           Seq("dst"), "left_semi"))
+      .distinct())
+    // Stored signatures are read ONLY for the candidates' old endpoints —
+    // a candidate-bounded doc_id set, pushed into the sigs scans.
+    val oldEndpoints = candDelta.select(col("src").as("doc_id"))
+      .unionByName(candDelta.select(col("dst").as("doc_id")))
       .distinct()
-    val allSigs = stored.unionByName(sigsNew)
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val allSigs = readSigsFor(priorIds, oldEndpoints).unionByName(sigsNew)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (cfg.runMinhash)
       parts += DedupPipeline.verifyJaccard(
@@ -286,6 +360,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * point. Labels are carried over verbatim — clusters() before and after
     * a compact are identical. */
   def compact(): Seq[String] = {
+    requireConfigMatch() // every store entry point enforces the pinned config
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
     ids.find(id => !Files.exists(
@@ -299,7 +374,8 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // stages are then reused by fingerprint), different once batches change.
     val foldId =
       s"fold${ids.length}_${(ids.mkString(",").hashCode & 0x7fffffff).toHexString}"
-    store.runStage(sigStage(foldId), cfgFp, inputs = ids.map(sigStage)) {
+    store.runStage(sigStage(foldId), cfgFp, inputs = ids.map(sigStage),
+      sortCols = Seq("doc_id"), bloomCols = Seq("doc_id")) {
       readSigs(ids).get
     }
     store.runStage(bucketStage(foldId), cfgFp,
@@ -329,6 +405,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * recall loss stays observable without re-deriving anything from
     * signatures. */
   def bucketStats(): DataFrame = {
+    requireConfigMatch()
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
     ids.map(id => spark.read.parquet(s"$root/${bucketStage(id)}/data")
@@ -347,6 +424,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * (url, doc_id, cluster_id, is_champion) — the same resolve as
     * DedupPipeline.clusters (champion = earliest (warc_ts, url)). */
   def clusters(): DataFrame = {
+    requireConfigMatch()
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
     val docs = readSigs(ids).get.select("url", "doc_id", "warc_ts")
@@ -361,4 +439,8 @@ object IncrementalDedup {
     * sized so local test batches demonstrably prune (part of the config
     * fingerprint — changing it invalidates the store). */
   val BucketParts = 64
+
+  /** Max doc_id keys pushed as an IN-literal into a stored-sigs scan;
+    * larger key sets resolve by semi-join instead. */
+  val MaxSigIdPushdown = 4096
 }

@@ -81,7 +81,14 @@ object NxsTokenizeExpr {
       val byCfg = memo.get()
       var inner = byCfg.get(cfg)
       if (inner == null) {
-        if (byCfg.size >= MAX_MEMO_CFGS) byCfg.clear()
+        if (byCfg.size >= MAX_MEMO_CFGS) {
+          // Evict ONE arbitrary config instead of clearing the map: a corpus
+          // whose corrupt lang values mint configs past the cap must not
+          // reset the memo of every HOT config each time (near-zero hit rate
+          // on that thread otherwise); hot configs stay, the garbage churns.
+          val it = byCfg.entrySet().iterator()
+          if (it.hasNext) { it.next(); it.remove() }
+        }
         inner = new java.util.HashMap[String, AnyRef]()
         byCfg.put(cfg, inner)
       }

@@ -115,9 +115,13 @@ object TrainingOps {
     * over-cap — see IncrementalDedup's monotonicity contract). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(runSimhash = false, runWinnow = false)
-    // Deterministic temp root, cleared on entry: repeated verification runs
-    // reuse ONE store path instead of leaking a full parquet store per call.
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incq_op"
+    // Deterministic temp root PER DRIVER (Spark application id suffix),
+    // cleared on entry: repeated verification runs in one driver reuse ONE
+    // store path instead of leaking a full parquet store per call, while two
+    // concurrent drivers (parallel test forks) can no longer delete each
+    // other's store mid-ingest.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incq_op_" +
+      spark.sparkContext.applicationId
     graft.tables.FsUtil.deleteRecursively(new java.io.File(root))
     val inc = new graft.dedup.IncrementalDedup(spark, root, cfg)
     def pages(parity: Int) = documents(spark, dir)

@@ -44,12 +44,19 @@ object IndexStore {
 
   private def paramsPath(root: String) = Paths.get(root, "params.json")
 
-  private def writeParams(root: String, cfg: PipelineConfig): Unit = {
+  private def algoName(a: Searcher.Algo): String = a match {
+    case Searcher.TfIdf => "tfidf"
+    case _ => "bm25"
+  }
+
+  private def writeParams(root: String, cfg: PipelineConfig,
+      algo: Searcher.Algo): Unit = {
     def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = Seq(
       "filters" -> cfg.filters.mkString(","),
       "lang" -> cfg.lang,
-      "stopwords" -> cfg.stopwordsEnabled.toString)
+      "stopwords" -> cfg.stopwordsEnabled.toString,
+      "algo" -> algoName(algo))
       .map { case (k, v) => s""""$k": "${esc(v)}"""" }
       .mkString("{\n  ", ",\n  ", "\n}")
     Files.createDirectories(Paths.get(root))
@@ -59,8 +66,12 @@ object IndexStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The persisted pipeline params, when the index has been built. */
-  def readParams(root: String): Option[PipelineConfig] = {
+  /** The persisted pipeline params + ranking algo, when the index has been
+    * built — the reference's full params.db triple (filters, lang, algo;
+    * /root/reference/src/core/params.c:159-198, nxs_impl.h:39-41). A
+    * params.json written before the algo field defaults to BM25 (the
+    * reference default). */
+  def readParamsFull(root: String): Option[(PipelineConfig, Searcher.Algo)] = {
     val p = paramsPath(root)
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p))
@@ -68,19 +79,35 @@ object IndexStore {
     val kv = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
     val m = kv.findAllMatchIn(s).map(x => x.group(1) -> unesc(x.group(2))).toMap
-    Some(PipelineConfig(
+    val cfg = PipelineConfig(
       filters = m.getOrElse("filters", "").split(',').toSeq.filter(_.nonEmpty),
       lang = m.getOrElse("lang", "en"),
-      stopwordsEnabled = m.get("stopwords").forall(_.toBoolean)))
+      stopwordsEnabled = m.get("stopwords").forall(_.toBoolean))
+    val algo = m.get("algo") match {
+      case Some("tfidf") => Searcher.TfIdf
+      case _ => Searcher.Bm25
+    }
+    Some((cfg, algo))
   }
 
-  private def requireParamsMatch(root: String, cfg: PipelineConfig): Unit =
-    readParams(root).foreach { stored =>
+  /** The persisted pipeline params, when the index has been built. */
+  def readParams(root: String): Option[PipelineConfig] =
+    readParamsFull(root).map(_._1)
+
+  private def requireParamsMatch(root: String, cfg: PipelineConfig,
+      algo: Option[Searcher.Algo] = None): Unit =
+    readParamsFull(root).foreach { case (stored, storedAlgo) =>
       if (fp(stored) != fp(cfg))
         throw new IllegalArgumentException(
           s"index at $root was built with params [${fp(stored)}] but open " +
             s"was called with [${fp(cfg)}] — open with no config to adopt " +
             "the stored params, or use buildOrOpen to rebuild explicitly")
+      algo.filter(_ != storedAlgo).foreach { a =>
+        throw new IllegalArgumentException(
+          s"index at $root was built with algo [${algoName(storedAlgo)}] " +
+            s"but open was called with [${algoName(a)}] — open with no algo " +
+            "to adopt the stored one, or rebuild via buildOrOpen")
+      }
     }
 
   /** Compaction generation: base stages and the mutation log are scoped to
@@ -97,10 +124,15 @@ object IndexStore {
     if (gen == 0) base else s"$base@$gen"
 
   /** Build-or-resume the index under `root`. `docs` is only evaluated for
-    * stages that are not already committed. */
+    * stages that are not already committed. `algo` pins the index's ranking
+    * algo at build (persisted in params.json like the reference's
+    * params.db); None adopts the stored algo (BM25 on a fresh build). An
+    * explicit algo differing from the stored one updates params.json only —
+    * the stage tables are algo-independent. */
   def buildOrOpen(docs: => org.apache.spark.sql.DataFrame, cfg: PipelineConfig,
-      spark: SparkSession, root: String): SearchIndex =
-    buildOrOpenGen(docs, cfg, spark, root, generation(root))
+      spark: SparkSession, root: String,
+      algo: Option[Searcher.Algo] = None): SearchIndex =
+    buildOrOpenGen(docs, cfg, spark, root, generation(root), algo)
 
   private def fuzzyFpOf(f: String): String =
     s"$f|fuzzy=d${Searcher.FuzzyTolerance}l${Searcher.FuzzyMaxLen}"
@@ -119,24 +151,33 @@ object IndexStore {
 
   private def buildOrOpenGen(docs: => org.apache.spark.sql.DataFrame,
       cfg: PipelineConfig, spark: SparkSession, root: String,
-      gen: Int): SearchIndex = {
+      gen: Int, algoOpt: Option[Searcher.Algo] = None): SearchIndex = {
     require(cfg.custom.isEmpty,
       "durable indexes cannot persist an in-process custom function — " +
         "register it and use a 'custom:<name>' filter entry instead " +
         "(graft.text.CustomFilters)")
     // Persist (or explicitly update, on a deliberate rebuild-with-new-params)
     // the pipeline params before the stages: the reference's params.db write
-    // at index create (params.c:159-198). A rebuild with DIFFERENT params
-    // also drops the mutation log: its postings/term_ids were tokenized
-    // under the old pipeline and replaying them onto the new base would mix
-    // configs and collide term ids.
-    val stored = readParams(root)
-    if (!stored.map(fp).contains(fp(cfg))) {
-      if (stored.isDefined)
-        graft.tables.FsUtil.deleteRecursively(
-          new java.io.File(s"$root/mutations"))
-      writeParams(root, cfg)
-    }
+    // at index create (params.c:159-198). A rebuild with DIFFERENT pipeline
+    // params abandons the mutation log — its postings/term_ids were
+    // tokenized under the old pipeline and replaying them onto the new base
+    // would mix configs and collide term ids. The abandonment is by
+    // VISIBILITY, not deletion: every mutation manifest carries the pipeline
+    // fingerprint it was committed under (pfp) and replay only admits
+    // entries matching the CURRENT params, so params.json is the single
+    // atomic switch. A crash at any point leaves either the old params with
+    // their mutations fully live, or the new params with the old-pipeline
+    // mutations invisible-by-fingerprint — never a committed old-params
+    // base silently missing its durable mutations. Stale mutation dirs are
+    // physically deleted (best-effort) only after the new base commits.
+    // An algo-only change updates params.json and nothing else — the stage
+    // tables are algo-independent (the reference stores algo in params.db
+    // but its index files don't depend on it).
+    val storedFull = readParamsFull(root)
+    val pipelineChanged = !storedFull.map(p => fp(p._1)).contains(fp(cfg))
+    val effAlgo = algoOpt.orElse(storedFull.map(_._2)).getOrElse(Searcher.Bm25)
+    if (pipelineChanged || !storedFull.map(_._2).contains(effAlgo))
+      writeParams(root, cfg, effAlgo)
     val store = new StageStore(spark, root)
     val f = fp(cfg)
     def n(b: String) = stageName(b, gen)
@@ -180,9 +221,15 @@ object IndexStore {
         Some(runFuzzyStage(store, n("fuzzy_variants"), f, n("term_stats"),
           termStats))
       else None
+    // The new base is committed: stale-pipeline mutation dirs (already
+    // invisible to replay via their pfp mismatch) can now be removed.
+    if (pipelineChanged && storedFull.isDefined)
+      graft.tables.FsUtil.deleteRecursively(
+        new java.io.File(s"$root/mutations"))
     val stats = statsDf.collect()(0)
     SearchIndex(postings.drop("first_pos"), docStats, termStats,
-      stats.getLong(0), stats.getLong(1), cfg, fuzzyVariants = fuzzy)
+      stats.getLong(0), stats.getLong(1), cfg, fuzzyVariants = fuzzy,
+      algo = effAlgo)
   }
 
   // ---- durable mutations ---------------------------------------------------
@@ -209,8 +256,12 @@ object IndexStore {
 
   private def mutDir(root: String) = s"$root/mutations/gen_${generation(root)}"
 
-  /** Committed mutations as (seq, kind, path), replay order. */
-  private def listMutations(root: String): Seq[(Int, String, String)] = {
+  /** Committed mutations as (seq, kind, path), replay order. Only entries
+    * whose manifest pipeline fingerprint matches `pfp` replay — a mutation
+    * committed under different pipeline params is invisible (its postings
+    * were tokenized under another config; see buildOrOpenGen's rebuild
+    * discipline). */
+  private def listMutations(root: String, pfp: String): Seq[(Int, String, String)] = {
     val d = Paths.get(mutDir(root))
     if (!Files.isDirectory(d)) return Nil
     // Files.list holds a directory fd until closed — this runs on every
@@ -218,22 +269,27 @@ object IndexStore {
     // long-running driver.
     val s = Files.list(d)
     val items = try s.toArray.toSeq.map(_.toString) finally s.close()
+    val pfpRe = """"pfp"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     items.flatMap { p =>
       val name = Paths.get(p).getFileName.toString
+      val mf = Paths.get(p, "MANIFEST")
       name.split("_", 2) match {
-        case Array(seq, kind) if Files.exists(Paths.get(p, "MANIFEST")) =>
-          Some((seq.toInt, kind, p))
+        case Array(seq, kind) if Files.exists(mf) =>
+          val stamped = pfpRe.findFirstMatchIn(
+            new String(Files.readAllBytes(mf))).map(_.group(1))
+          if (stamped.contains(pfp)) Some((seq.toInt, kind, p)) else None
         case _ => None
       }
     }.sortBy(_._1)
   }
 
-  private def nextSeq(root: String): Int =
-    (listMutations(root).map(_._1) :+ 0).max + 1
+  private def nextSeq(root: String, pfp: String): Int =
+    (listMutations(root, pfp).map(_._1) :+ 0).max + 1
 
   /** Write `tables` under an uncommitted mutation dir, then publish it with
-    * one atomic MANIFEST move. */
-  private def commitMutation(root: String, seq: Int, kind: String,
+    * one atomic MANIFEST move (stamped with the pipeline fingerprint the
+    * mutation was tokenized under). */
+  private def commitMutation(root: String, seq: Int, kind: String, pfp: String,
       tables: Seq[(String, DataFrame)]): Unit = {
     val dir = s"${mutDir(root)}/${f"$seq%04d"}_$kind"
     tables.foreach { case (name, df) =>
@@ -241,7 +297,7 @@ object IndexStore {
     }
     val tmp = Paths.get(dir, "MANIFEST.tmp")
     Files.createDirectories(Paths.get(dir))
-    Files.write(tmp, s"""{"seq":$seq,"kind":"$kind"}""".getBytes)
+    Files.write(tmp, s"""{"seq":$seq,"kind":"$kind","pfp":"$pfp"}""".getBytes)
     Files.move(tmp, Paths.get(dir, "MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -253,13 +309,15 @@ object IndexStore {
     * the doc/term stat aggregations over the live postings. */
   def openIndex(docs: => DataFrame, cfg: PipelineConfig,
       spark: SparkSession, root: String,
-      asCompactState: Boolean = false): SearchIndex = {
+      asCompactState: Boolean = false,
+      algo: Option[Searcher.Algo] = None): SearchIndex = {
     // Open-with-params semantics (nxs.c:253-287): opening an existing index
-    // with CONFLICTING params is an error, never a silent rebuild — a
-    // rebuild here would additionally orphan the mutation log's term ids.
-    requireParamsMatch(root, cfg)
+    // with CONFLICTING params — pipeline OR algo — is an error, never a
+    // silent rebuild/rescore; a rebuild here would additionally orphan the
+    // mutation log's term ids.
+    requireParamsMatch(root, cfg, algo)
     val base = buildOrOpen(docs, cfg, spark, root)
-    val muts = listMutations(root)
+    val muts = listMutations(root, fp(cfg))
     if (muts.isEmpty) return base
 
     val gen = generation(root)
@@ -302,9 +360,9 @@ object IndexStore {
     val c = docStats.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
     if (asCompactState)
       return SearchIndex(live.drop("_seq"), docStats, termStats,
-        c.getLong(0), c.getLong(1), cfg)
+        c.getLong(0), c.getLong(1), cfg, algo = base.algo)
     SearchIndex(live.drop("first_pos", "_seq"), docStats, termStats,
-      c.getLong(0), c.getLong(1), cfg)
+      c.getLong(0), c.getLong(1), cfg, algo = base.algo)
   }
 
   /** Open a built index with its PERSISTED params — no config supplied, the
@@ -332,7 +390,7 @@ object IndexStore {
   def compact(docs: => DataFrame, cfg: PipelineConfig,
       spark: SparkSession, root: String): SearchIndex = {
     val gen = generation(root)
-    if (listMutations(root).isEmpty)
+    if (listMutations(root, fp(cfg)).isEmpty)
       return openIndex(docs, cfg, spark, root)
     val state = openIndex(docs, cfg, spark, root, asCompactState = true)
     val store = new StageStore(spark, root)
@@ -422,7 +480,7 @@ object IndexStore {
       .select(col("term"), col("term_id").as("delta_id"))
     val newIds = SearchIndex.withDenseIds(newTerms, Seq("delta_id"), "rk", base = maxId)
       .select(col("term"), (lit(maxId) + col("rk")).as("term_id"))
-    commitMutation(root, nextSeq(root), "add",
+    commitMutation(root, nextSeq(root, fp(cfg)), "add", fp(cfg),
       Seq("postings" -> deltaPost, "term_ids" -> newIds))
     openIndex(docs, cfg, spark, root)
   }
@@ -434,7 +492,7 @@ object IndexStore {
     // validate BEFORE the durable commit — a rejected call must not have
     // already published tombstones (addDocs validates via its open too)
     requireParamsMatch(root, cfg)
-    commitMutation(root, nextSeq(root), "remove",
+    commitMutation(root, nextSeq(root, fp(cfg)), "remove", fp(cfg),
       Seq("tombstones" -> tombstones.select("doc_id").distinct()))
     openIndex(docs, cfg, spark, root)
   }

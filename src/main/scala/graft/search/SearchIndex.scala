@@ -34,7 +34,11 @@ final case class SearchIndex(
     // IndexStore sets it on committed opens with an empty mutation log and
     // clears it while mutations are pending (Searcher then derives
     // candidates on the fly — same values, slower path — until compact()).
-    fuzzyVariants: Option[DataFrame] = None) {
+    fuzzyVariants: Option[DataFrame] = None,
+    // The index's persisted ranking algo (params.json "algo"; the
+    // reference's third params.db field) — what Searcher.search scores
+    // with when the caller does not override.
+    algo: Searcher.Algo = Searcher.Bm25) {
 
   /** Release the `.cache()` blocks behind a `build()`-produced in-memory
     * index view (the exact cached plans are retained here because

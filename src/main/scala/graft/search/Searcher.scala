@@ -27,6 +27,11 @@ object Searcher {
   sealed trait Algo
   case object TfIdf extends Algo
   case object Bm25 extends Algo   // the reference default (nxs_impl.h:40)
+  /** Sentinel default for `search`: score with the index's own persisted
+    * algo (params.json carries filters, lang, AND algo — the reference's
+    * params.db triple, /root/reference/src/core/params.c:159-198 — and the
+    * reference scores a reopened index with ITS algo, not the caller's). */
+  case object IndexDefault extends Algo
 
   final case class Prepared(
       root: QExpr,
@@ -146,11 +151,20 @@ object Searcher {
     import spark.implicits._
     val qv = pairs.toDF("qtok", "vh")
     val hashes = pairs.map(_._2).distinct
-    resolveMostPopular(
-      variants
-        .where(col("vh").isin(hashes: _*)) // pushed to the parquet scan
-        .join(broadcast(qv), Seq("vh")))
+    // A ~2k-literal IN bloats the plan/codegen and the pushed parquet
+    // predicate (several long unresolved tokens → multi-thousand literals),
+    // so the isin scan filter is capped: past the cap the broadcast
+    // equi-join alone resolves (same rows) and scan pruning falls back to
+    // the vh bloom filter + row-group stats that the stage writes anyway.
+    val probed =
+      if (hashes.size <= MaxIsinHashes)
+        variants.where(col("vh").isin(hashes: _*)) // pushed to the scan
+      else variants
+    resolveMostPopular(probed.join(broadcast(qv), Seq("vh")))
   }
+
+  /** Cap on the vh IN-list pushed into the variant-stage scan. */
+  private[search] val MaxIsinHashes = 512
 
   /** Evaluate the boolean algebra to the matching doc set. */
   private def evalDocs(idx: SearchIndex, p: Prepared, e: QExpr): DataFrame = {
@@ -176,6 +190,7 @@ object Searcher {
     * document length division replicate /root/reference/src/algo/ranking.c
     * (k=1.2, b=0.75 :141-142; adl integer division :163). */
   private def scoreCol(idx: SearchIndex, algo: Algo): Column = algo match {
+    case IndexDefault => scoreCol(idx, idx.algo)
     case TfIdf =>
       // tf = ln(cnt+1); idf = ln(N/df) + 1   (ranking.c:90-91)
       (log(col("cnt") + 1) *
@@ -190,8 +205,10 @@ object Searcher {
   }
 
   /** Full search: returns (doc_id, score), descending, capped at `limit`
-    * (default 1000 = NXS_DEFAULT_RESULTS_LIMIT, nxs_impl.h:39). */
-  def search(idx: SearchIndex, query: String, algo: Algo = Bm25,
+    * (default 1000 = NXS_DEFAULT_RESULTS_LIMIT, nxs_impl.h:39). With no
+    * explicit `algo` the index's own persisted algo scores (IndexDefault —
+    * a TF-IDF-built index reopened without config scores TF-IDF). */
+  def search(idx: SearchIndex, query: String, algo: Algo = IndexDefault,
       limit: Int = 1000, fuzzy: Boolean = true): Either[String, DataFrame] =
     QueryParser.parse(query).map { root =>
       val p = prepare(idx, root, fuzzy)

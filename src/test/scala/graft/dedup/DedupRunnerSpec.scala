@@ -106,6 +106,83 @@ class DedupRunnerSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("relabel scopes CC input to touched components; sig reads prune by doc_id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Three batches of DISJOINT dup clusters: batch b holds clusters
+    // {b*100 .. b*100+9}, each cluster = 3 docs with identical text.
+    val words = (0 until 60).map(i => s"w$i")
+    def pages(b: Int) = (0 until 10).flatMap { c =>
+      val cid = b * 100 + c
+      val text = words.map(w => s"$w$cid").mkString(" ")
+      (0 until 3).map(m => (s"u${cid}_$m", cid * 10L + m,
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        null: Array[Byte], text, "en"))
+    }.toDF("url", "doc_id", "warc_ts", "html", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("increlabel").toString
+    val inc = new IncrementalDedup(spark, root,
+      DedupConfig(runSimhash = false, runWinnow = false))
+    inc.addBatch("b1", pages(1))
+    inc.addBatch("b2", pages(2))
+    val priorLabels = spark.read.parquet(s"$root/labels_b2/data")
+      .select("id", "comp")
+    val nPrior = priorLabels.count() // 60 docs in dup relations so far
+    assert(nPrior == 60)
+
+    // Batch 3 is disjoint from everything stored: its relabel CC input must
+    // carry ONLY batch-3 edges; every prior label passes through untouched.
+    inc.addBatch("b3", pages(3))
+    val sigs3 = spark.read.parquet(s"$root/sigs_b3/data")
+    val buckets3 = spark.read.parquet(s"$root/buckets_b3/data")
+    val newEdges = inc.deltaEdges(Seq("b1", "b2"), sigs3, buckets3)
+      .select("src", "dst")
+    val (ccInput, untouched) = inc.relabelInputs(priorLabels, newEdges)
+    val nNew = newEdges.count()
+    assert(nNew > 0)
+    assert(ccInput.count() == nNew,
+      "disjoint batch must not drag prior labels into CC")
+    assert(untouched.count() == nPrior,
+      "every prior label must pass through verbatim")
+
+    // A batch touching exactly ONE stored cluster scopes to that cluster:
+    // CC input = new edges + that component's 2 star edges; the other 29
+    // components' 58 labels + its own min label pass through... the touched
+    // comp's 3 labels leave the pass-through set.
+    val touchText = words.map(w => s"${w}101").mkString(" ")
+    val touch = Seq(("u_touch", 9999L,
+      java.sql.Timestamp.valueOf("2020-01-02 00:00:00"),
+      null: Array[Byte], touchText, "en"))
+      .toDF("url", "doc_id", "warc_ts", "html", "text", "lang")
+    inc.addBatch("b4", touch)
+    val labels3 = spark.read.parquet(s"$root/labels_b3/data").select("id", "comp")
+    val n3 = labels3.count()
+    val sigs4 = spark.read.parquet(s"$root/sigs_b4/data")
+    val buckets4 = spark.read.parquet(s"$root/buckets_b4/data")
+    val e4 = inc.deltaEdges(Seq("b1", "b2", "b3"), sigs4, buckets4)
+      .select("src", "dst")
+    val (cc4, un4) = inc.relabelInputs(labels3, e4)
+    assert(e4.count() == 3) // new doc pairs with each of cluster 101's docs
+    assert(cc4.count() == e4.count() + 2) // + the touched comp's 2 stars
+    assert(un4.count() == n3 - 3) // only the touched comp's labels re-run
+
+    // labels stay value-identical to a from-scratch recluster of everything
+    val all = pages(1).unionByName(pages(2)).unionByName(pages(3))
+      .unionByName(touch)
+    val full = DedupPipeline.clusters(all,
+        DedupConfig(runSimhash = false, runWinnow = false))
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val got = inc.clusters().select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == full)
+
+    // the delta-verify's stored-sig read pushes the doc_id key set into the
+    // parquet scan (sorted + bloom-filtered at rest)
+    val probe = inc.readSigsFor(Seq("b1", "b2"), Seq(1010L).toDF("doc_id"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*doc_id""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("config change invalidates downstream stages (fingerprint lineage)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_run3").toString
     val pages = SyntheticCorpus.pages(spark, corpusCfg)

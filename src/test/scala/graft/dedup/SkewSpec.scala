@@ -33,6 +33,35 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("champion resolve on one giant planted cluster (no window skew)") {
+    // one mega-cluster of 20k members (every doc labeled to comp=1) plus
+    // cold singletons — the parked-domain shape resolveClusters must handle
+    // without a single-task window sort. Champion must be the unique
+    // (warc_ts, url, doc_id) minimum; every member resolves to the cluster.
+    val ts0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(ts0.getTime + (i % 97) * 1000L)
+    val docs = ((1 to 20000).map(i => (s"u$i", i.toLong, ts(i))) ++
+      (1 to 25).map(i => (s"s$i", 100000L + i, ts0)))
+      .toDF("url", "doc_id", "warc_ts")
+    val labels = (2 to 20000).map(i => (i.toLong, 1L)).toDF("id", "comp")
+      .unionByName(Seq((1L, 1L)).toDF("id", "comp"))
+    val out = DedupPipeline.resolveClusters(docs, labels)
+      .select("url", "doc_id", "cluster_id", "is_champion")
+    val rows = out.collect()
+    assert(rows.length == 20025)
+    val mega = rows.filter(_.getLong(2) == 1L)
+    assert(mega.length == 20000)
+    // expected champion: min (warc_ts, url, doc_id) — warc_ts cycles mod 97,
+    // so the earliest ts bucket is i % 97 == 0, then lexicographic min url
+    val expectedChamp = (1 to 20000).map(i => ((ts(i).getTime, s"u$i"), i))
+      .minBy(_._1)._2.toLong
+    val champs = mega.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(champs.toSeq == Seq(expectedChamp))
+    // singletons are their own champion cluster
+    val single = rows.filter(_.getLong(2) > 100000L)
+    assert(single.length == 25 && single.forall(_.getBoolean(3)))
+  }
+
   test("saltedJoin equals plain join") {
     val dim = Seq(("h", "hot"), ("c1", "cold1"), ("c2", "cold2"))
       .toDF("domain", "label")

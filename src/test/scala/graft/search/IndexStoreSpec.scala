@@ -56,6 +56,61 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(idx3.termStats.count() > 0)
   }
 
+  test("algo persists in params.json: TF-IDF index reopens scoring TF-IDF") {
+    val root = java.nio.file.Files.createTempDirectory("idxalgo").toString
+    val cfg = TextPipeline.noStopwords
+    def scores(idx: SearchIndex, algo: Searcher.Algo = Searcher.IndexDefault) =
+      Searcher.search(idx, "cats", algo).fold(e => fail(e),
+        _.select("doc_id", "score").as[(Long, Double)].collect().toMap)
+
+    // build pinned to TF-IDF (the reference's params.db stores algo too)
+    val idx1 = IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark,
+      root, algo = Some(Searcher.TfIdf))
+    assert(idx1.algo == Searcher.TfIdf)
+    val tfidf = scores(idx1, Searcher.TfIdf)
+
+    // reopen with NO config at all: params.json supplies pipeline AND algo,
+    // and the default search scores with the index's algo
+    val idx2 = IndexStore.openIndex(spark, root)
+    assert(idx2.algo == Searcher.TfIdf)
+    assert(scores(idx2) == tfidf)
+    assert(scores(idx2) != scores(idx2, Searcher.Bm25))
+
+    // opening with a CONFLICTING algo errors (never silently rescores)
+    intercept[IllegalArgumentException] {
+      IndexStore.openIndex({ fail("no recompute"); null }, cfg, spark, root,
+        algo = Some(Searcher.Bm25))
+      ()
+    }
+    // an explicit buildOrOpen with a new algo is the supported repin: the
+    // stage tables are untouched, params.json updates
+    val idx3 = IndexStore.buildOrOpen({ fail("no recompute"); null }, cfg,
+      spark, root, algo = Some(Searcher.Bm25))
+    assert(idx3.algo == Searcher.Bm25)
+    assert(IndexStore.openIndex(spark, root).algo == Searcher.Bm25)
+  }
+
+  test("rebuild-with-new-params never strands durable mutations mid-crash") {
+    val root = java.nio.file.Files.createTempDirectory("idxpfp").toString
+    val cfg = TextPipeline.noStopwords
+    def ids(idx: SearchIndex, q: String): Set[Long] =
+      Searcher.search(idx, q).fold(e => fail(e),
+        _.select("doc_id").as[Long].collect().toSet)
+    IndexStore.buildOrOpen(base.toDF("doc_id", "text"), cfg, spark, root)
+    IndexStore.addDocs({ fail("no recompute"); null }, cfg, spark, root,
+      Seq(9L -> "cats chase fish").toDF("doc_id", "text"))
+    // Reopen with the ORIGINAL params at any point before a rebuild commits
+    // the new base: the mutation log must still be fully live (the old
+    // design deleted it first — a crash there silently lost the add).
+    val idx = IndexStore.openIndex({ fail("no recompute"); null }, cfg, spark, root)
+    assert(ids(idx, "cats") == Set(1L, 3L, 9L))
+    // An actual rebuild with different params abandons old-pipeline
+    // mutations BY FINGERPRINT (not replayed onto the new base).
+    val idx2 = IndexStore.buildOrOpen(base.toDF("doc_id", "text"),
+      TextPipeline.default, spark, root)
+    assert(ids(idx2, "cats") == Set(1L, 3L))
+  }
+
   test("durable add/remove survive restart (dtmap.c:546-655 tombstone + append)") {
     val root = java.nio.file.Files.createTempDirectory("idxmut").toString
     val cfg = TextPipeline.noStopwords
