@@ -185,39 +185,46 @@ object SparkEntry {
         |             ORDER BY cos DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // Refined-IVF oracle: re-derives BOTH Lloyd iterations value-for-value
+    // (assignment on 4-decimal-rounded cosines, 6-decimal-rounded per-cell
+    // coordinate means, empty cells keep their centroid — see
+    // TrainingOps.lloydCentroids), then the same probe-cell ranking and
+    // in-cell top-k. range(1, 65): the testdata embeddings are 64-dim.
     "q_embed_ivf_topk" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-        |               FROM embeddings WHERE vec_id < 16),
-        |assign AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY round(list_cosine_similarity(
-        |               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC, c.cell) AS rn
-        |    FROM embeddings e CROSS JOIN cents c)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
-        |           FROM embeddings WHERE vec_id < 5),
-        |probecells AS (
-        |  SELECT probe_id, pvec, cell FROM (
-        |    SELECT p.probe_id, p.pvec, c.cell,
-        |           row_number() OVER (PARTITION BY p.probe_id
-        |             ORDER BY round(list_cosine_similarity(p.pvec, c.cvec), 4) DESC,
-        |                      c.cell) AS crn
-        |    FROM probes p CROSS JOIN cents c)
-        |  WHERE crn <= 4),
-        |scored AS (
-        |  SELECT pc.probe_id, a.vec_id,
-        |         round(list_cosine_similarity(
-        |           CAST(e.embedding AS DOUBLE[]), pc.pvec), 4) AS cos
-        |  FROM probecells pc JOIN assign a USING (cell)
-        |  JOIN embeddings e ON e.vec_id = a.vec_id
-        |  WHERE a.vec_id <> pc.probe_id)
-        |SELECT probe_id, vec_id, cos, rank FROM (
-        |  SELECT probe_id, vec_id, cos,
-        |         CAST(row_number() OVER (PARTITION BY probe_id
-        |           ORDER BY cos DESC, vec_id) AS INT) AS rank
-        |  FROM scored) WHERE rank <= 3""".stripMargin,
+      s"""WITH cents0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |${lloydIterSql(1)},
+         |${lloydIterSql(2)},
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(
+         |               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents2 c)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+         |           FROM embeddings WHERE vec_id < 5),
+         |probecells AS (
+         |  SELECT probe_id, pvec, cell FROM (
+         |    SELECT p.probe_id, p.pvec, c.cell,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pvec, c.cvec), 4) DESC,
+         |                      c.cell) AS crn
+         |    FROM probes p CROSS JOIN cents2 c)
+         |  WHERE crn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         round(list_cosine_similarity(
+         |           CAST(e.embedding AS DOUBLE[]), pc.pvec), 4) AS cos
+         |  FROM probecells pc JOIN assign a USING (cell)
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id <> pc.probe_id)
+         |SELECT probe_id, vec_id, cos, rank FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
     "q_quality" ->
       s"""WITH toks AS (SELECT doc_id, term FROM ($POSTINGS_RAW) WHERE term <> '')
          |SELECT doc_id, count(*) AS n_tokens,
@@ -252,6 +259,27 @@ object SparkEntry {
         |SELECT user_id, max(session_idx) AS n_sessions,
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id""".stripMargin) ++ oracleSql2
+
+  /** One Lloyd-iteration CTE block: assignment against cents(i-1) on
+    * 4-decimal cosines (ties to lowest cell), per-(cell, dim) mean rounded
+    * to 6 decimals, list re-assembled in dim order, empty cells inheriting
+    * the previous centroid. Mirrors TrainingOps.lloydCentroids exactly. */
+  private def lloydIterSql(i: Int): String =
+    s"""a$i AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_cosine_similarity(
+       |               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
+       |             c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cents${i - 1} c) WHERE rn = 1),
+       |m$i AS (SELECT a.cell, i.i AS i,
+       |               round(avg(e.embedding[CAST(i.i AS INT)]), 6) AS v
+       |        FROM a$i a JOIN embeddings e USING (vec_id)
+       |        CROSS JOIN range(1, 65) i(i)
+       |        GROUP BY a.cell, i.i),
+       |mv$i AS (SELECT cell, list(v ORDER BY i) AS mvec FROM m$i GROUP BY cell),
+       |cents$i AS (SELECT c.cell, coalesce(m.mvec, c.cvec) AS cvec
+       |            FROM cents${i - 1} c LEFT JOIN mv$i m USING (cell))""".stripMargin
 
   /** Raw token stream (duplicates kept) for per-doc stats. */
   private val POSTINGS_RAW =
@@ -360,8 +388,10 @@ object SparkEntry {
          |          FROM f GROUP BY fp HAVING count(*) > 1)
          |SELECT DISTINCT s.mn AS src, f.doc_id AS dst
          |FROM f JOIN stats s USING (fp) WHERE f.doc_id <> s.mn""".stripMargin,
-    // Anchor-extend span evidence: delta-grouped positioned anchors + exact
-    // token-hash extension, re-derived 1:1 (see TrainingOps.winnowSpans).
+    // Anchor-extend span evidence: delta-grouped positioned anchors, split
+    // into runs at anchor gaps > win (winnowing guarantees an anchor per
+    // win-position window inside one true run), + exact token-hash
+    // extension — re-derived 1:1 (see TrainingOps.winnowSpans; win=11).
     "q_winnow_spans" ->
       s"""WITH fp AS (SELECT doc_id, unnest(winnow_pos20, recursive := true)
          |            FROM $SIGS),
@@ -375,8 +405,21 @@ object SparkEntry {
          |  FROM pairs p
          |  JOIN fp fa ON fa.doc_id = p.src
          |  JOIN fp fb ON fb.doc_id = p.dst AND fb.fp = fa.fp),
-         |g AS (SELECT src, dst, delta, min(pos_a) AS min_a, max(pos_a) AS max_a
-         |      FROM anch GROUP BY src, dst, delta),
+         |lagd AS (
+         |  SELECT src, dst, delta, pos_a,
+         |         lag(pos_a) OVER (PARTITION BY src, dst, delta
+         |                          ORDER BY pos_a) AS prev
+         |  FROM anch),
+         |runs AS (
+         |  SELECT src, dst, delta, pos_a,
+         |         sum(CASE WHEN prev IS NULL OR pos_a - prev > 11
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY src, dst, delta ORDER BY pos_a
+         |                 ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM lagd),
+         |g AS (SELECT src, dst, delta, run_id,
+         |             min(pos_a) AS min_a, max(pos_a) AS max_a
+         |      FROM runs GROUP BY src, dst, delta, run_id),
          |t AS (SELECT g.*, g.min_a - g.delta AS min_b, g.max_a - g.delta AS max_b,
          |             sa.token_hashes AS th_a, sb.token_hashes AS th_b
          |      FROM g JOIN $SIGS sa ON sa.doc_id = g.src

@@ -396,6 +396,64 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object CosineSimDExpr {
+  /** Double-array variant of CosineSimExpr.cosine — cosines against
+    * Lloyd-refined IVF centroids, which are double-precision coordinate
+    * means (computing them through a float round-trip would shift values
+    * vs the double-precision oracle). Same ragged-row null contract. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb))
+  }
+}
+
+/** `vec_cosine_d(a, b)` → double, over array<double> vectors (see
+  * CosineSimDExpr; CosineSimExpr is the array<float> form). */
+case class CosineSimDExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = CosineSimDExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cos")
+    ev.copy(code =
+      code"""
+        ${aGen.code}
+        ${bGen.code}
+        boolean ${ev.isNull} = ${aGen.isNull} || ${bGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          java.lang.Double $boxed =
+            graft.functions.CosineSimDExpr.cosine(${aGen.value}, ${bGen.value});
+          if ($boxed == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $boxed.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BandKeysExpr {
   /** LSH band keys from a MinHash signature: band i's key is the XXH64 fold
     * of (band index, its `rowsPerBand` signature slots) — one 64-bit long

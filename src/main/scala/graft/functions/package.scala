@@ -36,6 +36,10 @@ package object functions {
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 
+  /** Double-array cosine (Lloyd-refined centroids are double means). */
+  def vec_cosine_d(a: Column, b: Column): Column =
+    column(CosineSimDExpr(expression(a), expression(b)))
+
   def nxs_band_keys(sig: Column, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 42L): Column =
     column(BandKeysExpr(expression(sig), bands, rowsPerBand, seed))
@@ -79,6 +83,8 @@ package object functions {
       es => SimHash64Expr(es.head, 42L), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       es => CosineSimExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine_d",
+      es => CosineSimDExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("nxs_band_keys",
       es => BandKeysExpr(es.head, 16, 8, 42L), "built-in")
     reg.createOrReplaceTempFunction("nxs_winnow",

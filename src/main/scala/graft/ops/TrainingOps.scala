@@ -196,18 +196,21 @@ object TrainingOps {
     * shared token run?
     *
     * Method: positioned winnowing anchors (`nxs_winnow_pos`) shared by the
-    * two docs at a consistent position delta delimit a candidate run
-    * [min_a .. max_a + a); the run is then extended left/right over the
-    * token-hash arrays until the first mismatching token, and the pair's
-    * span is the max over delta groups. When a delta group's anchors lie in
-    * ONE contiguous shared run — the winnowing case for a single duplicated
-    * region — the extension recovers the EXACT run length in tokens. A pair
-    * with several DISJOINT shared runs at the SAME delta (e.g. equal-length
-    * header and footer around differing bodies) reports the combined extent
-    * of the anchor region instead — an upper bound; the interior is not
-    * re-validated. Every step (delta grouping, mismatch-scan extension via
-    * filter-over-range) is re-derived 1:1 by the DuckDB oracle from the
-    * dumped positioned anchors + token hashes, including that bound.
+    * two docs at a consistent position delta are SPLIT into runs at
+    * interior anchor gaps > `win` — winnowing guarantees a fingerprint in
+    * every `win`-position window, so consecutive shared anchors inside one
+    * true run are never more than `win` apart and a larger gap proves a
+    * run boundary (two disjoint runs at the same delta, e.g. a shared
+    * header and footer around differing bodies, split here). Each run
+    * [min_a .. max_a + a) is then extended left/right over the token-hash
+    * arrays until the first mismatching token, and the pair's span is the
+    * max over all runs of all delta groups. A run whose anchors lie in one
+    * contiguous shared region — every run after the gap split, except
+    * disjoint runs separated by <= win positions, whose combined extent
+    * remains an upper bound — reports the EXACT shared-run length in
+    * tokens. Every step (delta grouping, gap split, mismatch-scan extension
+    * via filter-over-range) is re-derived 1:1 by the DuckDB oracle from the
+    * dumped positioned anchors + token hashes.
     *
     * Scale shape: anchors explode + one fp-bucket aggregate (same as the
     * winnow pass), pair set is star-bounded, and the extension joins ship
@@ -234,12 +237,21 @@ object TrainingOps {
       .where(col("doc_id") =!= col("mn"))
       .select(col("mn").as("src"), col("doc_id").as("dst"))
       .distinct()
-    // all shared anchors of each pair, grouped by position delta
+    // all shared anchors of each pair, grouped by position delta and split
+    // into runs at anchor gaps > win (window partitions are per-pair anchor
+    // sets — small by construction, no skew concern)
     val fa = f.select(col("doc_id").as("src"), col("fp"), col("pos").as("pos_a"))
     val fb = f.select(col("doc_id").as("dst"), col("fp"), col("pos").as("pos_b"))
+    val byDelta = Window.partitionBy("src", "dst", "delta").orderBy("pos_a")
     val groups = pairs.join(fa, "src").join(fb, Seq("dst", "fp"))
       .withColumn("delta", col("pos_a") - col("pos_b"))
-      .groupBy("src", "dst", "delta")
+      .withColumn("prev", lag("pos_a", 1).over(byDelta))
+      .withColumn("new_run",
+        when(col("prev").isNull || col("pos_a") - col("prev") > win, 1)
+          .otherwise(0))
+      .withColumn("run_id",
+        sum("new_run").over(byDelta.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("src", "dst", "delta", "run_id")
       .agg(min("pos_a").as("min_a"), max("pos_a").as("max_a"))
     val th = docs.select(col("doc_id"), col("th"))
     val t = groups
@@ -333,41 +345,84 @@ object TrainingOps {
         round(col("cos_raw"), 4).as("cos"))
   }
 
-  /** IVF (inverted-file) cell assignment: deterministic coarse centroids =
-    * the first `nCells` vectors (selection-only quantizer — deterministic
-    * and oracle-replicable; a production build would refine with a few
-    * Lloyd iterations, which changes the centroids, not the plan shape);
-    * every vector lands in its max-cosine cell. One broadcast join — the
-    * corpus never shuffles. */
-  def ivfAssign(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
-    val e = embeddings(spark, dir)
-    val cents = e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+  /** Lloyd-refined IVF coarse centroids, fully deterministic and
+    * oracle-replicable: init = the first `nCells` vectors (the selection
+    * quantizer; `iters = 0` returns it unchanged), then `iters` rounds of
+    * (max-cosine assignment with ties to the lowest cell, per-cell
+    * coordinate mean). Centroids are DOUBLE arrays; assignment cosines are
+    * rounded to 4 decimals and mean coordinates to 6 so the refinement is
+    * reproducible across engines regardless of summation order (the DuckDB
+    * oracle re-derives both iterations value-for-value). An emptied cell
+    * keeps its previous centroid. Scale shape per round: one broadcast
+    * join (centroids are nCells rows) + one (cell, dim) hash aggregate —
+    * the corpus never shuffles. */
+  def lloydCentroids(e: DataFrame, nCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    var cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"),
+        col("embedding").cast("array<double>").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assign = assignFrom(e, cents)
+      val means = assign.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(round(avg("col"), 6).as("v"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("mvec"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+    }
+    // nCells rows, but `iters` rounds of join+window lineage behind them —
+    // materialize once so the assignment and probe-ranking consumers don't
+    // re-run the refinement per consumer.
+    graft.dedup.Materialize(cents)
+  }
+
+  /** Max-cosine cell per vector against a (cell, cvec: array<double>)
+    * centroid relation; ties to the lowest cell. One broadcast join. */
+  private[graft] def assignFrom(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
     e.join(broadcast(cents))
-      .withColumn("ccos", round(vec_cosine(col("embedding"), col("cvec")), 4))
+      .withColumn("ccos", round(vec_cosine_d(
+        col("embedding").cast("array<double>"), col("cvec")), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("vec_id", "cell")
   }
+
+  /** IVF (inverted-file) cell assignment over the Lloyd-refined quantizer
+    * (`iters = 0` degrades to the selection-only centroids). */
+  def ivfAssign(spark: SparkSession, dir: String, nCells: Int = 16,
+      iters: Int = 2): DataFrame =
+    assignFrom(embeddings(spark, dir),
+      lloydCentroids(embeddings(spark, dir), nCells, iters))
 
   /** IVF top-k: rank cells per probe, brute-force only inside the best
     * `nprobeCells` cells — the classic recall/cost dial. At scale the probe
     * side is broadcast and the search join is an equi-join on cell, so cost
     * is O(n * nprobeCells / nCells) per probe instead of O(n). */
   def embedIvfTopK(spark: SparkSession, dir: String, nCells: Int = 16,
-      nprobeCells: Int = 4, nProbes: Int = 5, k: Int = 3): DataFrame = {
-    val e = embeddings(spark, dir)
-    val assign = ivfAssign(spark, dir, nCells)
-    val cents = e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      nprobeCells: Int = 4, nProbes: Int = 5, k: Int = 3,
+      iters: Int = 2): DataFrame =
+    ivfTopKFrom(embeddings(spark, dir),
+      lloydCentroids(embeddings(spark, dir), nCells, iters),
+      nprobeCells, nProbes, k)
+
+  /** IVF top-k against a prebuilt centroid relation (e.g. the persisted
+    * AnnIndex stage). */
+  private[graft] def ivfTopKFrom(e: DataFrame, cents: DataFrame,
+      nprobeCells: Int, nProbes: Int, k: Int): DataFrame = {
+    val assign = assignFrom(e, cents)
     val probes = e.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val wCell = Window.partitionBy("probe_id")
       .orderBy(col("pcos").desc, col("cell"))
     val probeCells = probes.crossJoin(broadcast(cents))
-      .withColumn("pcos", round(vec_cosine(col("pvec"), col("cvec")), 4))
+      .withColumn("pcos", round(vec_cosine_d(
+        col("pvec").cast("array<double>"), col("cvec")), 4))
       .withColumn("crn", row_number().over(wCell))
       .where(col("crn") <= nprobeCells)
       .select("probe_id", "pvec", "cell")

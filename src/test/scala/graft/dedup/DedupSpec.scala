@@ -206,6 +206,26 @@ class WinnowSpanSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(graft.ops.TrainingOps.winnowSpans(spark, dir).count() == 0)
   }
+
+  test("disjoint header+footer runs at one delta split into exact runs") {
+    // Shared 40-token header and 55-token footer around 30-token bodies
+    // that DIFFER between the docs — both runs sit at delta 0, and before
+    // the gap split the reported span was their combined extent (~125, an
+    // upper bound). The split at anchor gaps > win must yield the two
+    // exact runs; the reported max is the footer's exact 55.
+    val header = (1 to 40).map(i => s"hdr$i").mkString(" ")
+    val footer = (1 to 55).map(i => s"ftr$i").mkString(" ")
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val docA = s"$header ${body("bodya")} $footer"
+    val docB = s"$header ${body("bodyb")} $footer"
+    val dir = java.nio.file.Files.createTempDirectory("spans2").toString
+    Seq((1L, docA, "en"), (2L, docB, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.ops.TrainingOps.winnowSpans(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(spans.toSeq == Seq((1L, 2L, 55)))
+  }
 }
 
 class DedupPipelineSpec extends AnyFunSuite {

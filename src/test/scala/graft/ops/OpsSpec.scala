@@ -120,6 +120,93 @@ class OpsSpec extends AnyFunSuite {
   }
 }
 
+/** Lloyd-refined IVF: deterministic refinement quality + the persisted
+  * quantizer stage (build-once, open-everywhere — the ANN analogue of the
+  * durable search index). */
+class AnnIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // Planted corpus: 8 well-separated clusters in dim 16, 25 members each.
+  // vec_id = m * 8 + c, so the first 8 ids (the selection init) are one per
+  // cluster but are each an OUTLIER member (large perturbation) — the
+  // regime where selection centroids misrank borders and Lloyd means fix it.
+  private val dim = 16; private val nClusters = 8; private val members = 25
+  private def center(c: Int, j: Int): Float =
+    (((c * 17 + j * 13) % 11) - 5) * 0.4f
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    (for (m <- 0 until members; c <- 0 until nClusters) yield {
+      val i = m * nClusters + c
+      val scale = if (m == 0) 0.8f else 0.05f
+      (i.toLong,
+        Array.tabulate(dim)(j => center(c, j) + (((i * 7 + j * 3) % 5) - 2) * scale))
+    }).toSeq
+  private lazy val e = vecs.toDF("vec_id", "embedding")
+
+  private def cosR(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (j <- 0 until dim) {
+      dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+    }
+    BigDecimal(dot / math.sqrt(na * nb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Brute-force top-k per probe, same ranking as the op (rounded cos desc,
+    * vec_id asc). */
+  private def bruteTop(p: Long, k: Int): Seq[Long] = {
+    val pv = vecs.find(_._1 == p).get._2
+    vecs.filter(_._1 != p)
+      .map { case (id, v) => (id, cosR(pv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+  }
+
+  private def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+    val k = 5
+    val got = graft.ops.TrainingOps
+      .ivfTopKFrom(e, cents, nprobeCells = 2, nProbes = 8, k = k)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 8L).map { p =>
+      val truth = bruteTop(p, k).toSet
+      got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / k
+    }.sum / 8
+  }
+
+  private def objective(cents: org.apache.spark.sql.DataFrame): Double =
+    e.join(broadcast(cents))
+      .withColumn("ccos", graft.functions.vec_cosine_d(
+        col("embedding").cast("array<double>"), col("cvec")))
+      .groupBy("vec_id").agg(max("ccos").as("m"))
+      .agg(sum("m")).collect()(0).getDouble(0)
+
+  test("refined centroids: objective and recall >= selection quantizer") {
+    val sel = graft.ops.TrainingOps.lloydCentroids(e, nClusters, iters = 0)
+    val ref = graft.ops.TrainingOps.lloydCentroids(e, nClusters, iters = 2)
+    assert(objective(ref) >= objective(sel) - 1e-6)
+    val (rSel, rRef) = (recall(sel), recall(ref))
+    assert(rRef >= rSel, s"refined $rRef < selection $rSel")
+    assert(rRef >= 0.9, s"refined recall $rRef")
+  }
+
+  test("persisted quantizer: build commits, reopen never re-clusters") {
+    val root = java.nio.file.Files.createTempDirectory("annidx").toString
+    val c1 = graft.ops.AnnIndex
+      .buildOrOpenCentroids(spark, root, e, nCells = 8, iters = 2)
+      .orderBy("cell").as[(Long, Seq[Double])].collect().toSeq
+    val c2 = graft.ops.AnnIndex.buildOrOpenCentroids(spark, root,
+        { fail("centroids must not recompute on reopen"); null },
+        nCells = 8, iters = 2)
+      .orderBy("cell").as[(Long, Seq[Double])].collect().toSeq
+    assert(c1 == c2)
+    // the persisted quantizer serves top-k without touching the refinement
+    val topk = graft.ops.AnnIndex.topK(spark, root, e, nCells = 8, iters = 2,
+      nprobeCells = 2, nProbes = 4, k = 3)
+    assert(topk.count() == 12)
+  }
+}
+
 /** The plans the 100 TB design depends on: parquet scans must prune to the
   * projected columns and push comparison filters into the source. */
 class ScanPlanSpec extends AnyFunSuite {
