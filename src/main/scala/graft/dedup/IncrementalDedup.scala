@@ -33,9 +33,13 @@ import scala.jdk.CollectionConverters._
  * signature columns —
  *
  *   sigs_<batch>/     (url, doc_id, warc_ts, band_keys|simhash|winnow_fps)
+ *                     doc_id-sorted + bloomed (point reads prune at rest)
  *   buckets_<batch>/  (pass, bucket_key, doc_id) partitioned by
  *                     bpt = pmod(bucket_key, BucketParts)
- *   labels_<batch>/   (id, comp) — cluster labels after this batch
+ *   labels_<batch>/   (id, comp) — DELTA: only the rows this batch's scoped
+ *                     CC re-derived; the full view is min(comp) per id
+ *                     across stages (labels are monotonically
+ *                     non-increasing), comp-sorted + id/comp bloomed
  *
  * Each batch APPENDS one partitioned bucket stage (the Iceberg
  * partition-append analogue); the touched-bucket read then prunes at the
@@ -133,15 +137,35 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * `MaxSigIdPushdown` fall back to a semi-join (no driver-side giant
     * IN-literal, no codegen bloat) — still row-pruned before any wide-array
     * column ships, just without the at-rest scan skip. */
-  private[dedup] def readSigsFor(ids: Seq[String], docIds: DataFrame): DataFrame = {
-    val all = readSigs(ids).get
-    val sample = docIds.limit(IncrementalDedup.MaxSigIdPushdown + 1).collect()
-    if (sample.length <= IncrementalDedup.MaxSigIdPushdown) {
-      val keys = sample.map(_.getLong(0))
-      all.where(col("doc_id").isin(keys: _*)) // pushed to the parquet scan
-    } else
-      all.join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
+  private[dedup] def readSigsFor(ids: Seq[String], docIds: DataFrame): DataFrame =
+    keyFiltered(readSigs(ids).get, "doc_id", docIds)
+
+  /** `df` restricted to keyCol ∈ keys (a single-column relation): the keys
+    * collect into an IN literal pushed to the parquet scans when few
+    * (≤ MaxSigIdPushdown — row groups + bloom filters then prune at rest),
+    * and degrade to a semi-join when many (no giant literal, no codegen
+    * bloat — still row-pruned before any wide column ships). */
+  private def keyFiltered(df: DataFrame, keyCol: String,
+      keys: DataFrame): DataFrame = {
+    val sample = keys.limit(IncrementalDedup.MaxSigIdPushdown + 1).collect()
+    if (sample.length <= IncrementalDedup.MaxSigIdPushdown)
+      df.where(col(keyCol).isin(sample.map(_.getLong(0)): _*))
+    else df.join(keys.toDF(keyCol), Seq(keyCol), "left_semi")
   }
+
+  private def readLabels(ids: Seq[String]): DataFrame =
+    ids.map(id => spark.read.parquet(s"$root/${labelStage(id)}/data")
+      .select("id", "comp")).reduce(_ unionByName _)
+
+  /** The current FULL label view over the delta label stages: one row per
+    * labeled doc, comp = its current component. Labels are monotonically
+    * non-increasing per id (components only ever merge, and the merged
+    * component's id is the min of the merged comp ids), so latest-wins
+    * across stages IS `min(comp) per id` — one aggregate, no stage
+    * sequencing, and a pre-delta-format store (whose stages are full
+    * snapshots) reads identically. */
+  private def fullLabels(ids: Seq[String]): DataFrame =
+    readLabels(ids).groupBy("id").agg(min("comp").as("comp"))
 
   /** The stored bucket relation of `ids`, read with a STATIC partition
     * filter on the touched bucket partitions — the filter is applied per
@@ -221,10 +245,17 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       val deduped = trimmed
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1).drop("_rn")
-      readSigs(prior) match {
-        case Some(stored) =>
-          deduped.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
-        case None => deduped
+      if (prior.isEmpty) deduped
+      else {
+        // Cross-batch duplicate-id rejection: anti-join(new, stored) only
+        // ever needs stored ∩ new, so the stored side is read through the
+        // SAME doc_id pushdown as the verify path (batch ids ≤ cap → IN
+        // pushed into the sorted + bloomed sigs scans; else semi-join) —
+        // no full stored-corpus id scan per batch.
+        val dedupedM = Materialize(deduped)
+        dedupedM.join(
+          readSigsFor(prior, dedupedM.select("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
       }
     }
     // The batch's bucket rows, appended as one partitioned stage: this is
@@ -234,64 +265,73 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       DedupPipeline.bucketed(sigsNew, cfg).withColumn("bpt", bptCol)
     }
 
-    val labels = store.runStage(labelStage(batchId), cfgFp,
+    // DELTA label stage: only the rows the scoped CC re-derives (new-edge
+    // endpoints + every member of a touched component) are written — an
+    // untouched component has NO row in this stage, its label lives in the
+    // stage that last touched it. Per-batch label WRITE is therefore
+    // O(delta + touched), matching the relabel compute; the full view is
+    // fullLabels' min aggregate. comp-sorted + id/comp bloomed at rest so
+    // the next batches' endpoint and member lookups prune at the scan.
+    store.runStage(labelStage(batchId), cfgFp,
       inputs = priorSigStages ++ prior.map(bucketStage) ++
-        prior.lastOption.map(labelStage).toSeq ++
-        Seq(sigStage(batchId), bucketStage(batchId))) {
-      prior.lastOption match {
-        case None =>
-          ConnectedComponents.run(DedupPipeline.edgesRaw(sigsNew, cfg))
-            .select(col("id"), col("comp"))
-        case Some(last) =>
-          val newEdges = Materialize(
-            deltaEdges(prior, sigsNew, bucketsNew).select("src", "dst"))
-          val priorLabels = spark.read
-            .parquet(s"$root/${labelStage(last)}/data").select("id", "comp")
-          val (ccInput, untouched) = relabelInputs(priorLabels, newEdges)
-          val out = ConnectedComponents.run(ccInput).select(col("id"), col("comp"))
-            .unionByName(untouched)
-          Materialize.release(newEdges)
-          out
+        prior.map(labelStage) ++
+        Seq(sigStage(batchId), bucketStage(batchId)),
+      sortCols = Seq("comp"), bloomCols = Seq("id", "comp")) {
+      if (prior.isEmpty)
+        ConnectedComponents.run(DedupPipeline.edgesRaw(sigsNew, cfg))
+          .select(col("id"), col("comp"))
+      else {
+        val newEdges = Materialize(
+          deltaEdges(prior, sigsNew, bucketsNew).select("src", "dst"))
+        val out = ConnectedComponents
+          .run(relabelInputs(readLabels(prior), newEdges))
+          .select(col("id"), col("comp"))
+        Materialize.release(newEdges)
+        out
       }
     }
-    labels
+    // the documented contract — labels covering every doc in any duplicate
+    // relation so far — is the full view, not the delta just written
+    fullLabels(prior :+ batchId)
   }
 
   /** Touched-component-scoped label advancement: the CC input is the new
-    * verified edges plus the prior labels of ONLY the components a new edge
-    * touches, re-expressed as star edges; every other prior label passes
-    * through verbatim. Per-batch relabel cost is O(delta + touched-component
-    * membership), not O(every labeled doc so far) — the label-store analogue
-    * of the reference's consume-only-new-bytes incremental sync
-    * (/root/reference/src/index/terms.c:320-344).
+    * verified edges plus the prior label rows of ONLY the components a new
+    * edge touches, re-expressed as star edges; untouched components
+    * contribute nothing (and their labels are not even rewritten — see the
+    * delta label stage above). Per-batch relabel cost is O(delta +
+    * touched-component membership), not O(every labeled doc so far) — the
+    * label-store analogue of the reference's consume-only-new-bytes
+    * incremental sync (/root/reference/src/index/terms.c:320-344).
     *
     * Labels are IDENTICAL to running CC over (new edges ∪ all prior label
     * stars): duplicate links are monotone (never removed), so a component
     * with no new incident edge cannot change — its stored comp is already
     * the min member id — and a touched component's members ∪ new-edge
     * endpoints are exactly the nodes of its connected subgraph in the full
-    * graph, so scoped CC computes the same min. Exposed private[dedup] so
+    * graph, so scoped CC computes the same min.
+    *
+    * `priorLabels` is the raw UNION of the delta stages and may carry
+    * STALE rows (an id relabeled twice appears with both comps). Stale
+    * rows are harmless here: a dead comp value is itself a doc id inside
+    * the current merged component, so a stale star edge only connects two
+    * nodes of the same current component, and a live touched component's
+    * members all carry a row with the live comp (the scoped CC re-emits
+    * every member whenever a component changes). Exposed private[dedup] so
     * the spec can assert the CC-input row count stays delta-scoped. */
   private[dedup] def relabelInputs(priorLabels: DataFrame,
-      newEdges: DataFrame): (DataFrame, DataFrame) = {
+      newEdges: DataFrame): DataFrame = {
     val endpoints = newEdges.select(col("src").as("id"))
       .unionByName(newEdges.select(col("dst").as("id"))).distinct()
     // comps containing a new-edge endpoint: delta-bounded (≤ |endpoints|),
-    // materialized once — it gates BOTH the star semi-join and the
-    // pass-through anti-join, and without a checkpoint each consumer would
-    // re-run the label⋈endpoint join.
+    // materialized once; both lookups push their key sets into the
+    // comp-sorted + bloomed label scans via keyFiltered.
     val touchedComps = Materialize(
-      priorLabels.join(endpoints, Seq("id"), "left_semi")
-        .select("comp").distinct())
-    val touchedStars = priorLabels
-      .join(touchedComps, Seq("comp"), "left_semi")
+      keyFiltered(priorLabels, "id", endpoints).select("comp").distinct())
+    val touchedStars = keyFiltered(priorLabels, "comp", touchedComps)
       .where(col("id") =!= col("comp"))
       .select(col("id").as("src"), col("comp").as("dst"))
-    val ccInput = newEdges.select("src", "dst").unionByName(touchedStars)
-    val untouched = priorLabels
-      .join(touchedComps, Seq("comp"), "left_anti")
-      .select("id", "comp")
-    (ccInput, untouched)
+    newEdges.select("src", "dst").unionByName(touchedStars)
   }
 
   /** Verified edges involving at least one new document. The stored side is
@@ -357,8 +397,8 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * rewriting its db files instead of growing the append log forever,
     * terms.c:320-344). Fold stages are written (or resumed by fingerprint)
     * first; the atomic BATCHES rewrite to the single fold id is the commit
-    * point. Labels are carried over verbatim — clusters() before and after
-    * a compact are identical. */
+    * point. The label fold collapses the delta stages to the full min view —
+    * clusters() before and after a compact are value-identical. */
   def compact(): Seq[String] = {
     requireConfigMatch() // every store entry point enforces the pinned config
     val ids = batches()
@@ -385,9 +425,12 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         .reduce(_ unionByName _)
     }
     store.runStage(labelStage(foldId), cfgFp,
-      inputs = Seq(labelStage(ids.last))) {
-      spark.read.parquet(s"$root/${labelStage(ids.last)}/data")
-        .select("id", "comp")
+      inputs = ids.map(labelStage),
+      sortCols = Seq("comp"), bloomCols = Seq("id", "comp")) {
+      // collapse the delta label stages to the full min view — one row per
+      // labeled doc, stale rows gone; min over the single fold stage is
+      // then the identity, so reads stay uniform
+      fullLabels(ids)
     }
     writeBatches(Seq(foldId)) // commit point
     // best-effort cleanup of the folded batches
@@ -428,8 +471,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
     val docs = readSigs(ids).get.select("url", "doc_id", "warc_ts")
-    val labels = spark.read.parquet(s"$root/${labelStage(ids.last)}/data")
-    DedupPipeline.resolveClusters(docs, labels)
+    DedupPipeline.resolveClusters(docs, fullLabels(ids))
   }
 }
 

@@ -124,46 +124,51 @@ class DedupRunnerSpec extends AnyFunSuite {
       DedupConfig(runSimhash = false, runWinnow = false))
     inc.addBatch("b1", pages(1))
     inc.addBatch("b2", pages(2))
-    val priorLabels = spark.read.parquet(s"$root/labels_b2/data")
+    def stageRows(name: String): Long =
+      spark.read.parquet(s"$root/$name/data").count()
+    val priorLabels = spark.read.parquet(s"$root/labels_b1/data")
       .select("id", "comp")
-    val nPrior = priorLabels.count() // 60 docs in dup relations so far
-    assert(nPrior == 60)
+      .unionByName(spark.read.parquet(s"$root/labels_b2/data")
+        .select("id", "comp"))
+    assert(priorLabels.count() == 60) // 60 docs in dup relations so far
 
     // Batch 3 is disjoint from everything stored: its relabel CC input must
-    // carry ONLY batch-3 edges; every prior label passes through untouched.
+    // carry ONLY batch-3 edges, and its DELTA label stage must hold only
+    // batch-3's 30 labeled docs — no prior label is re-run or rewritten.
     inc.addBatch("b3", pages(3))
+    assert(stageRows("labels_b3") == 30,
+      "delta label stage must not rewrite untouched labels")
     val sigs3 = spark.read.parquet(s"$root/sigs_b3/data")
     val buckets3 = spark.read.parquet(s"$root/buckets_b3/data")
     val newEdges = inc.deltaEdges(Seq("b1", "b2"), sigs3, buckets3)
       .select("src", "dst")
-    val (ccInput, untouched) = inc.relabelInputs(priorLabels, newEdges)
+    val ccInput = inc.relabelInputs(priorLabels, newEdges)
     val nNew = newEdges.count()
     assert(nNew > 0)
     assert(ccInput.count() == nNew,
       "disjoint batch must not drag prior labels into CC")
-    assert(untouched.count() == nPrior,
-      "every prior label must pass through verbatim")
 
     // A batch touching exactly ONE stored cluster scopes to that cluster:
-    // CC input = new edges + that component's 2 star edges; the other 29
-    // components' 58 labels + its own min label pass through... the touched
-    // comp's 3 labels leave the pass-through set.
+    // CC input = new edges + that component's 2 star edges; the delta
+    // label stage holds exactly the 4 re-derived rows (3 old members of
+    // cluster 101 + the new doc).
     val touchText = words.map(w => s"${w}101").mkString(" ")
     val touch = Seq(("u_touch", 9999L,
       java.sql.Timestamp.valueOf("2020-01-02 00:00:00"),
       null: Array[Byte], touchText, "en"))
       .toDF("url", "doc_id", "warc_ts", "html", "text", "lang")
     inc.addBatch("b4", touch)
-    val labels3 = spark.read.parquet(s"$root/labels_b3/data").select("id", "comp")
-    val n3 = labels3.count()
+    assert(stageRows("labels_b4") == 4,
+      "touched-cluster delta = its members + the new doc, nothing else")
+    val labels123 = priorLabels
+      .unionByName(spark.read.parquet(s"$root/labels_b3/data").select("id", "comp"))
     val sigs4 = spark.read.parquet(s"$root/sigs_b4/data")
     val buckets4 = spark.read.parquet(s"$root/buckets_b4/data")
     val e4 = inc.deltaEdges(Seq("b1", "b2", "b3"), sigs4, buckets4)
       .select("src", "dst")
-    val (cc4, un4) = inc.relabelInputs(labels3, e4)
+    val cc4 = inc.relabelInputs(labels123, e4)
     assert(e4.count() == 3) // new doc pairs with each of cluster 101's docs
     assert(cc4.count() == e4.count() + 2) // + the touched comp's 2 stars
-    assert(un4.count() == n3 - 3) // only the touched comp's labels re-run
 
     // labels stay value-identical to a from-scratch recluster of everything
     val all = pages(1).unionByName(pages(2)).unionByName(pages(3))
