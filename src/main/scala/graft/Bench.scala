@@ -47,8 +47,11 @@ import java.nio.file.{Files, Paths}
  * Covers the engine's hot paths: the full near-dup pipeline on a
  * deterministic synthetic web corpus (the real workload; docs/sec reported
  * for comparison against BENCH/BASELINE.md), the ICU tokenize scan, MinHash
- * dedup over the driver documents table, search index build + query, and
- * ANN. Full multi-pair scaling evidence remains graft.bench.ScalingBench.
+ * dedup over the driver documents table, INCREMENTAL delta-batch ingest
+ * against a persisted full-corpus store (the O(delta)-per-batch claim,
+ * measured — the number must not grow with the stored corpus), search
+ * index build + query, and ANN. Full multi-pair scaling evidence remains
+ * graft.bench.ScalingBench.
  */
 object Bench {
 
@@ -104,6 +107,74 @@ object Bench {
       deferredDeletes.clear()
     }
 
+    // Incremental delta-ingest benchmark state: a persisted IncrementalDedup
+    // store holding the WHOLE bench corpus as its base batch (built untimed
+    // once per corpus — later invocations resume by fingerprint), against
+    // which the timed query ingests a fresh ~1k-page delta batch. This is
+    // the number the one-shot pipeline benches cannot show: per-batch ingest
+    // cost against a large stored corpus, which the scoped relabel +
+    // partition-pruned bucket reads + doc_id-pruned sig reads keep at
+    // O(delta), not O(store).
+    val incRoot = s"$corpusDir/inc_store_c$nClusters"
+    // Delta ingest is many SMALL stages (the whole point is that no stage
+    // is corpus-sized), so it runs in its own session with AQE partition
+    // coalescing ON — the production setting for this workload. The main
+    // bench session keeps coalescing off because it serializes the big
+    // pipeline's CPU-heavy byte-light pair stages at bench volumes; that
+    // trade-off inverts when every stage is delta-sized and per-task
+    // scheduling overhead dominates.
+    val incSession = spark.newSession()
+    incSession.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // delta-sized shuffles: start small, let AQE split if a batch is big
+    incSession.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.functions.registerAll(incSession)
+    val incStore = new graft.dedup.IncrementalDedup(incSession, incRoot, DedupConfig())
+    val DeltaClusters = 600 // ~1k pages at the corpus cluster-size mix
+    def deltaPages(off: Long) = {
+      import incSession.implicits._ // store inputs must share its session
+      val cCfg = SyntheticCorpus.Config(nClusters = nClusters)
+      incSession.range(off, off + DeltaClusters)
+        .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
+          .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
+        .toDF()
+    }
+    // Monotone cluster-id offset so every delta batch (across invocations)
+    // has fresh, deterministic content and ids.
+    val offFile = java.nio.file.Paths.get(incRoot, "DELTA_OFFSET")
+    def nextDeltaOffset(): Long = {
+      val cur =
+        if (Files.exists(offFile))
+          new String(Files.readAllBytes(offFile)).trim.toLong
+        else nClusters.toLong
+      Files.createDirectories(offFile.getParent)
+      Files.write(offFile, (cur + DeltaClusters).toString.getBytes)
+      cur
+    }
+    // Untimed setup: base ingest (resumed on later invocations), recovery of
+    // a delta batch a killed bench left half-ingested (its pages re-derive
+    // from the id), and a compact once the per-invocation batches pile up.
+    try {
+      val existing = incStore.batches()
+      if (existing.isEmpty)
+        incStore.addBatch("base", incSession.read.parquet(corpusPath))
+      else existing.find(id => !new java.io.File(
+          s"$incRoot/labels_$id/MANIFEST.json").exists()).foreach {
+        case id if id.startsWith("delta_") =>
+          incStore.addBatch(id, deltaPages(id.stripPrefix("delta_").toLong))
+        case _ => incStore.addBatch("base", incSession.read.parquet(corpusPath))
+      }
+      if (incStore.batches().size > 8) { incStore.compact(); () }
+    } catch { case e: Throwable =>
+      // any wedged state (killed earlier bench, format change): rebuild the
+      // store from scratch, still untimed — the bench must never wedge
+      System.err.println(s"[bench] incremental store setup failed ($e); rebuilding")
+      graft.tables.FsUtil.deleteRecursively(new java.io.File(incRoot))
+      try incStore.addBatch("base", incSession.read.parquet(corpusPath))
+      catch { case e2: Throwable =>
+        System.err.println(s"[bench] incremental store rebuild failed: $e2")
+      }
+    }
+
     def benchDocs() = TrainingOps.documents(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
@@ -137,6 +208,16 @@ object Bench {
             functions.nxs_tokenize(org.apache.spark.sql.functions.col("text"))))
           .count()),
       "minhash_dedup_docs" -> (() => TrainingOps.minhashDedup(spark, sfDir).count()),
+      // Delta ingest against the 699k-doc store: signs + buckets + verifies
+      // + relabels ONLY the ~1k-page batch (store reads prune by partition /
+      // doc_id / comp key sets). The returned full-label view is NOT
+      // consumed — the timed work is the committed ingest itself; rows =
+      // the delta label stage (tiny).
+      "incremental_delta_ingest" -> (() => {
+        val off = nextDeltaOffset()
+        incStore.addBatch(s"delta_$off", deltaPages(off))
+        incSession.read.parquet(s"$incRoot/labels_delta_$off/data").count()
+      }),
       // Production shape: build the DURABLE index once (index_build times
       // the committed-stage build into a fresh root each run), query it
       // many times (search_queries reopens the committed tables — no
