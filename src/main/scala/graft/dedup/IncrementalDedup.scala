@@ -64,7 +64,12 @@ import scala.jdk.CollectionConverters._
  * edges. The same over-cap observability applies (bucketStats).
  */
 final class IncrementalDedup(spark: SparkSession, root: String,
-    cfg: DedupConfig = DedupConfig()) {
+    cfg: DedupConfig = DedupConfig(),
+    // > 0: addBatch folds the store (compact) whenever the committed batch
+    // count reaches this bound — the knob that keeps an UNBOUNDED ingest
+    // (streaming micro-batches land one stage each) at a bounded stage
+    // fan-in without the caller scheduling maintenance. 0 = manual compact.
+    autoCompactAfter: Int = 0) {
 
   import IncrementalDedup.BucketParts
 
@@ -290,9 +295,14 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         out
       }
     }
+    // Bounded-maintenance fold: transparent to readers (labels identical),
+    // amortized O(store / autoCompactAfter) per batch.
+    val ids =
+      if (autoCompactAfter > 0 && prior.size + 1 >= autoCompactAfter) compact()
+      else prior :+ batchId
     // the documented contract — labels covering every doc in any duplicate
     // relation so far — is the full view, not the delta just written
-    fullLabels(prior :+ batchId)
+    fullLabels(ids)
   }
 
   /** Touched-component-scoped label advancement: the CC input is the new

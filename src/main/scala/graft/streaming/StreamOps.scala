@@ -44,18 +44,22 @@ object StreamOps {
     * redelivers a micro-batch with the SAME batchId after a crash, and
     * IncrementalDedup.addBatch is idempotent per batch id (its stages are
     * fingerprint-committed — a redelivered batch resumes/reads instead of
-    * re-ingesting). Candidate generation per micro-batch touches only the
-    * buckets the new pages land in; clusters() on the store serves the
-    * continuously-updated labels. */
+    * re-ingesting). Per micro-batch, candidate generation touches only the
+    * buckets the new pages land in, the relabel touches only the components
+    * a new edge reaches, and the label stage written is delta-sized;
+    * `autoCompactAfter` folds the store every N micro-batches so an
+    * unbounded stream keeps a bounded stage fan-in. clusters() on the store
+    * serves the continuously-updated labels. */
   def dedupIngest(pages: DataFrame, root: String,
       cfg: graft.dedup.DedupConfig = graft.dedup.DedupConfig(),
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      autoCompactAfter: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = pages.sparkSession
     pages.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        new graft.dedup.IncrementalDedup(spark, root, cfg)
+        new graft.dedup.IncrementalDedup(spark, root, cfg, autoCompactAfter)
           .addBatch(f"stream_$batchId%06d", batch): Unit
       }
       .start()

@@ -188,6 +188,31 @@ class DedupRunnerSpec extends AnyFunSuite {
     assert("""PushedFilters: \[[^\]]*doc_id""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("autoCompactAfter folds the store transparently during ingest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 80)).cache()
+    val root = java.nio.file.Files.createTempDirectory("incauto").toString
+    val inc = new IncrementalDedup(spark, root, DedupConfig(),
+      autoCompactAfter = 3)
+    val nb = 4
+    for (i <- 0 until nb)
+      inc.addBatch(s"day$i", corpus.where(abs(xxhash64(col("url"))) % nb === i))
+    // the fold at batch 3 collapsed day0-2; batch 4 then sits on top of the
+    // fold — the stage fan-in stays bounded by the threshold, and labels
+    // stay identical to a from-scratch recluster
+    assert(inc.batches().size == 2, inc.batches().toString)
+    assert(inc.batches().head.startsWith("fold"))
+    val got = inc.clusters().select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = DedupPipeline.clusters(corpus)
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == full)
+    corpus.unpersist()
+  }
+
   test("config change invalidates downstream stages (fingerprint lineage)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_run3").toString
     val pages = SyntheticCorpus.pages(spark, corpusCfg)
