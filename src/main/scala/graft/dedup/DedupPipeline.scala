@@ -206,15 +206,20 @@ object DedupPipeline {
     * for none) are pure star regardless of size. Shared by the dedup passes
     * and the ANN bucket join. */
   private[graft] def pairsFromBuckets(bucketedRel: DataFrame, smallCap: Int,
-      alwaysStarPass: Int): DataFrame = {
+      alwaysStarPass: Int,
+      releasables: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     // The bucketed relation feeds the stats aggregation and two joins back;
     // without materialization each consumer recomputes the explode + key
     // hashing from the signatures cache (the aggregation exchange carries
     // partial-agg rows, so ReuseExchange can't unify them). One
     // materialization = one pass. Joins against stats are AQE-planned:
     // broadcast when small, skew-split sort-merge when a hot bucket
-    // inflates a partition.
+    // inflates a partition. The checkpoint stays referenced by the RETURNED
+    // lineage — callers that loop (incremental ingest) pass `releasables`
+    // and release once their consumer materializes.
     val b = Materialize(bucketedRel)
+    releasables += b
     val stats = b.groupBy("pass", "bucket_key")
       .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
       .where(col("sz") > 1)
@@ -385,13 +390,18 @@ object DedupPipeline {
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
+    // The champion test compares the FULL (warc_ts, url, doc_id) triple,
+    // not doc_id alone: doc_id is unique by contract (the reference rejects
+    // duplicate ids; addBatch dedups in-batch), but a caller slipping two
+    // rows with one doc_id and different (warc_ts, url) should not get two
+    // champions out of it.
     val champs = labeled
       .groupBy("cluster_id")
       .agg(min(struct(col("warc_ts"), col("url"), col("doc_id"))).as("c"))
-      .select(col("cluster_id"), col("c.doc_id").as("champ_id"))
     labeled
       .join(champs, Seq("cluster_id"))
-      .withColumn("is_champion", col("doc_id") === col("champ_id"))
+      .withColumn("is_champion",
+        struct(col("warc_ts"), col("url"), col("doc_id")) === col("c"))
       .select("url", "doc_id", "cluster_id", "is_champion")
   }
 

@@ -205,6 +205,13 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * already stored are rejected, like the reference's duplicate-id add. */
   def addBatch(batchId: String, pages: => DataFrame): DataFrame = {
     requireConfigMatch(pin = true)
+    // Checkpoints created along the delta path (in-batch dedup, candidate
+    // set, touched comps, new edges) are all fully consumed by the time the
+    // last stage commits; released together at the end — on a cluster with
+    // a reliable checkpoint dir, unreleased checkpoints are never cleaned
+    // for the application's lifetime, and a streaming ingest calls this
+    // once per micro-batch.
+    val releasables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val prior = {
       val b = batches()
       if (b.contains(batchId)) b.takeWhile(_ != batchId)
@@ -258,6 +265,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         // pushed into the sorted + bloomed sigs scans; else semi-join) —
         // no full stored-corpus id scan per batch.
         val dedupedM = Materialize(deduped)
+        releasables += dedupedM
         dedupedM.join(
           readSigsFor(prior, dedupedM.select("doc_id")).select("doc_id"),
           Seq("doc_id"), "left_anti")
@@ -287,14 +295,16 @@ final class IncrementalDedup(spark: SparkSession, root: String,
           .select(col("id"), col("comp"))
       else {
         val newEdges = Materialize(
-          deltaEdges(prior, sigsNew, bucketsNew).select("src", "dst"))
+          deltaEdges(prior, sigsNew, bucketsNew, releasables)
+            .select("src", "dst"))
+        releasables += newEdges
         val out = ConnectedComponents
-          .run(relabelInputs(readLabels(prior), newEdges))
+          .run(relabelInputs(readLabels(prior), newEdges, releasables))
           .select(col("id"), col("comp"))
-        Materialize.release(newEdges)
         out
       }
     }
+    releasables.foreach(Materialize.release)
     // Bounded-maintenance fold: transparent to readers (labels identical),
     // amortized O(store / autoCompactAfter) per batch.
     val ids =
@@ -330,7 +340,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * every member whenever a component changes). Exposed private[dedup] so
     * the spec can assert the CC-input row count stays delta-scoped. */
   private[dedup] def relabelInputs(priorLabels: DataFrame,
-      newEdges: DataFrame): DataFrame = {
+      newEdges: DataFrame,
+      releasables: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     val endpoints = newEdges.select(col("src").as("id"))
       .unionByName(newEdges.select(col("dst").as("id"))).distinct()
     // comps containing a new-edge endpoint: delta-bounded (≤ |endpoints|),
@@ -338,6 +350,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // comp-sorted + bloomed label scans via keyFiltered.
     val touchedComps = Materialize(
       keyFiltered(priorLabels, "id", endpoints).select("comp").distinct())
+    releasables += touchedComps
     val touchedStars = keyFiltered(priorLabels, "comp", touchedComps)
       .where(col("id") =!= col("comp"))
       .select(col("id").as("src"), col("comp").as("dst"))
@@ -353,7 +366,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * endpoints (readSigsFor — doc_id pushdown against the sorted + bloomed
     * sigs stages), so no step of delta ingest scans the stored corpus. */
   private[dedup] def deltaEdges(priorIds: Seq[String],
-      sigsNew: DataFrame, bucketsNew: DataFrame): DataFrame = {
+      sigsNew: DataFrame, bucketsNew: DataFrame,
+      releasables: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     import DedupPipeline.{PassMinhash, PassSimhash, PassWinnow}
     val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
     // The touched partition set is at most BucketParts values — a driver
@@ -365,7 +380,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         Seq("pass", "bucket_key"), "left_semi")
     val stream = touched.unionByName(bNew.select("pass", "bucket_key", "doc_id"))
     val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
-      alwaysStarPass = PassWinnow)
+      alwaysStarPass = PassWinnow, releasables = releasables)
     // keep only pairs that involve a new document — old-old pairs in a
     // touched bucket were found when their docs arrived
     val newIds = sigsNew.select("doc_id")
@@ -376,6 +391,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
           Seq("dst"), "left_semi"))
       .distinct())
+    releasables += candDelta
     // Stored signatures are read ONLY for the candidates' old endpoints —
     // a candidate-bounded doc_id set, pushed into the sigs scans.
     val oldEndpoints = candDelta.select(col("src").as("doc_id"))

@@ -132,7 +132,11 @@ object IndexStore {
   def buildOrOpen(docs: => org.apache.spark.sql.DataFrame, cfg: PipelineConfig,
       spark: SparkSession, root: String,
       algo: Option[Searcher.Algo] = None): SearchIndex =
-    buildOrOpenGen(docs, cfg, spark, root, generation(root), algo)
+    // Some(IndexDefault) means "whatever the index has" — identical to None
+    // (persisting the sentinel itself would make scoreCol's resolution
+    // circular and the conflict error nonsensical).
+    buildOrOpenGen(docs, cfg, spark, root, generation(root),
+      algo.filter(_ != Searcher.IndexDefault))
 
   private def fuzzyFpOf(f: String): String =
     s"$f|fuzzy=d${Searcher.FuzzyTolerance}l${Searcher.FuzzyMaxLen}"
@@ -260,7 +264,12 @@ object IndexStore {
     * whose manifest pipeline fingerprint matches `pfp` replay — a mutation
     * committed under different pipeline params is invisible (its postings
     * were tokenized under another config; see buildOrOpenGen's rebuild
-    * discipline). */
+    * discipline). A manifest WITHOUT a pfp field (written before the field
+    * existed) is grandfathered as matching: legacy entries can only exist
+    * under the params they were committed with, because every
+    * params-changing rebuild deletes the mutation log once its new base
+    * commits — dropping them instead would silently lose durable
+    * adds/removes on upgrade. */
   private def listMutations(root: String, pfp: String): Seq[(Int, String, String)] = {
     val d = Paths.get(mutDir(root))
     if (!Files.isDirectory(d)) return Nil
@@ -277,14 +286,29 @@ object IndexStore {
         case Array(seq, kind) if Files.exists(mf) =>
           val stamped = pfpRe.findFirstMatchIn(
             new String(Files.readAllBytes(mf))).map(_.group(1))
-          if (stamped.contains(pfp)) Some((seq.toInt, kind, p)) else None
+          if (stamped.forall(_ == pfp)) Some((seq.toInt, kind, p)) else None
         case _ => None
       }
     }.sortBy(_._1)
   }
 
-  private def nextSeq(root: String, pfp: String): Int =
-    (listMutations(root, pfp).map(_._1) :+ 0).max + 1
+  /** Next mutation sequence number — computed over EVERY committed entry
+    * regardless of pfp, so a new mutation can never reuse (and its
+    * SaveMode.Overwrite physically destroy) the directory of an entry that
+    * is merely invisible to the current params. */
+  private def nextSeq(root: String): Int = {
+    val d = Paths.get(mutDir(root))
+    if (!Files.isDirectory(d)) return 1
+    val s = Files.list(d)
+    val items = try s.toArray.toSeq.map(_.toString) finally s.close()
+    val seqs = items.flatMap { p =>
+      Paths.get(p).getFileName.toString.split("_", 2) match {
+        case Array(seq, _) if seq.forall(_.isDigit) => Some(seq.toInt)
+        case _ => None
+      }
+    }
+    (seqs :+ 0).max + 1
+  }
 
   /** Write `tables` under an uncommitted mutation dir, then publish it with
     * one atomic MANIFEST move (stamped with the pipeline fingerprint the
@@ -314,9 +338,12 @@ object IndexStore {
     // Open-with-params semantics (nxs.c:253-287): opening an existing index
     // with CONFLICTING params — pipeline OR algo — is an error, never a
     // silent rebuild/rescore; a rebuild here would additionally orphan the
-    // mutation log's term ids.
-    requireParamsMatch(root, cfg, algo)
-    val base = buildOrOpen(docs, cfg, spark, root)
+    // mutation log's term ids. (Some(IndexDefault) ≡ None, as in buildOrOpen.)
+    val algoReq = algo.filter(_ != Searcher.IndexDefault)
+    requireParamsMatch(root, cfg, algoReq)
+    // Forward the algo: on a FIRST build through this entry point the
+    // caller's pin must reach params.json (requireParamsMatch was a no-op).
+    val base = buildOrOpen(docs, cfg, spark, root, algoReq)
     val muts = listMutations(root, fp(cfg))
     if (muts.isEmpty) return base
 
@@ -480,7 +507,7 @@ object IndexStore {
       .select(col("term"), col("term_id").as("delta_id"))
     val newIds = SearchIndex.withDenseIds(newTerms, Seq("delta_id"), "rk", base = maxId)
       .select(col("term"), (lit(maxId) + col("rk")).as("term_id"))
-    commitMutation(root, nextSeq(root, fp(cfg)), "add", fp(cfg),
+    commitMutation(root, nextSeq(root), "add", fp(cfg),
       Seq("postings" -> deltaPost, "term_ids" -> newIds))
     openIndex(docs, cfg, spark, root)
   }
@@ -492,7 +519,7 @@ object IndexStore {
     // validate BEFORE the durable commit — a rejected call must not have
     // already published tombstones (addDocs validates via its open too)
     requireParamsMatch(root, cfg)
-    commitMutation(root, nextSeq(root, fp(cfg)), "remove", fp(cfg),
+    commitMutation(root, nextSeq(root), "remove", fp(cfg),
       Seq("tombstones" -> tombstones.select("doc_id").distinct()))
     openIndex(docs, cfg, spark, root)
   }

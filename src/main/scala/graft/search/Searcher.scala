@@ -190,7 +190,11 @@ object Searcher {
     * document length division replicate /root/reference/src/algo/ranking.c
     * (k=1.2, b=0.75 :141-142; adl integer division :163). */
   private def scoreCol(idx: SearchIndex, algo: Algo): Column = algo match {
-    case IndexDefault => scoreCol(idx, idx.algo)
+    // guard the degenerate idx.algo == IndexDefault (a hand-built
+    // SearchIndex could carry the sentinel): fall to the reference default
+    // rather than recursing forever
+    case IndexDefault =>
+      scoreCol(idx, if (idx.algo == IndexDefault) Bm25 else idx.algo)
     case TfIdf =>
       // tf = ln(cnt+1); idf = ln(N/df) + 1   (ranking.c:90-91)
       (log(col("cnt") + 1) *

@@ -188,6 +188,44 @@ class DedupRunnerSpec extends AnyFunSuite {
     assert("""PushedFilters: \[[^\]]*doc_id""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("stale label rows across comp merges stay harmless (delta store)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One logical cluster whose comp CHANGES mid-history: batch a labels
+    // {1010,1011,1012} with comp 1010; batch b ingests doc 5 with the same
+    // text — the merged comp becomes 5, leaving batch-a's rows STALE
+    // (they still say 1010). Batch c touches the cluster again (doc 7000):
+    // its relabel must gather members through BOTH the live comp 5 and the
+    // stale comp 1010 and still land everything on 5 — the stale-row
+    // harmlessness argument in relabelInputs, exercised end-to-end.
+    val text = (0 until 60).map(i => s"stale$i").mkString(" ")
+    def pages(ids: Seq[Long]) = ids.map(i => (s"u$i", i,
+        new java.sql.Timestamp(1577836800000L + i),
+        null: Array[Byte], text, "en"))
+      .toDF("url", "doc_id", "warc_ts", "html", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("incstale").toString
+    val inc = new IncrementalDedup(spark, root,
+      DedupConfig(runSimhash = false, runWinnow = false))
+    inc.addBatch("a", pages(Seq(1010L, 1011L, 1012L)))
+    inc.addBatch("b", pages(Seq(5L)))
+    inc.addBatch("c", pages(Seq(7000L)))
+    def stage(n: String) = spark.read.parquet(s"$root/labels_$n/data")
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    assert(stage("a") == Set((1010L, 1010L), (1011L, 1010L), (1012L, 1010L)))
+    assert(stage("b") ==
+      Set((5L, 5L), (1010L, 5L), (1011L, 5L), (1012L, 5L)))
+    assert(stage("c") ==
+      Set((5L, 5L), (1010L, 5L), (1011L, 5L), (1012L, 5L), (7000L, 5L)))
+    val got = inc.clusters().select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = DedupPipeline.clusters(
+        pages(Seq(1010L, 1011L, 1012L, 5L, 7000L)),
+        DedupConfig(runSimhash = false, runWinnow = false))
+      .select("doc_id", "cluster_id", "is_champion")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == full)
+  }
+
   test("autoCompactAfter folds the store transparently during ingest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
