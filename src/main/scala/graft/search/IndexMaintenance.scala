@@ -66,7 +66,7 @@ object IndexMaintenance {
         coalesce(sum("dl"), lit(0L))).collect()(0)
     SearchIndex(postings, docStats, termStats,
       idx.docCount - removed.getLong(0), idx.tokenCount - removed.getLong(1),
-      idx.pipeline)
+      idx.pipeline, algo = idx.algo) // mutation views keep the index's algo
   }
 
   /** S4/S5 — incremental add of `newDocs(doc_id, text)`. Docs whose ids are
@@ -108,7 +108,8 @@ object IndexMaintenance {
       idx.pipeline,
       // the delta's build() cached three plans; keep their handles so the
       // merged index's unpersist() actually releases them
-      cached = idx.cached ++ delta.cached)
+      cached = idx.cached ++ delta.cached,
+      algo = idx.algo)
   }
 
   /** S9 — JSON response in the reference wire shape

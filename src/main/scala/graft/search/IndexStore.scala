@@ -178,6 +178,15 @@ object IndexStore {
     // tables are algo-independent (the reference stores algo in params.db
     // but its index files don't depend on it).
     val storedFull = readParamsFull(root)
+    // Migration BEFORE any params write: stamp pfp-less legacy mutation
+    // manifests with the CURRENTLY-STORED params' fingerprint — the only
+    // params they can have been committed under. Ordering matters: if this
+    // ran after a params-changing writeParams, a crash between the write
+    // and the post-commit mutation cleanup would leave legacy entries that
+    // the grandfathering clause then replays onto the NEW-params base
+    // (mixed configs). Stamping first makes the legacy store
+    // indistinguishable from a new-format one for every later code path.
+    storedFull.foreach(p => stampLegacyMutations(root, fp(p._1)))
     val pipelineChanged = !storedFull.map(p => fp(p._1)).contains(fp(cfg))
     val effAlgo = algoOpt.orElse(storedFull.map(_._2)).getOrElse(Searcher.Bm25)
     if (pipelineChanged || !storedFull.map(_._2).contains(effAlgo))
@@ -260,16 +269,38 @@ object IndexStore {
 
   private def mutDir(root: String) = s"$root/mutations/gen_${generation(root)}"
 
+  /** Stamp every committed pfp-less (pre-upgrade) mutation manifest in the
+    * current generation with `pfp` — atomic per manifest, idempotent. */
+  private def stampLegacyMutations(root: String, pfp: String): Unit = {
+    val d = Paths.get(mutDir(root))
+    if (!Files.isDirectory(d)) return
+    val s = Files.list(d)
+    val items = try s.toArray.toSeq.map(_.toString) finally s.close()
+    items.foreach { p =>
+      val mf = Paths.get(p, "MANIFEST")
+      if (Files.exists(mf)) {
+        val body = new String(Files.readAllBytes(mf))
+        if (!body.contains("\"pfp\"")) {
+          val stamped = body.stripSuffix("}") + s""","pfp":"$pfp"}"""
+          val tmp = Paths.get(p, "MANIFEST.tmp")
+          Files.write(tmp, stamped.getBytes)
+          Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
+
   /** Committed mutations as (seq, kind, path), replay order. Only entries
     * whose manifest pipeline fingerprint matches `pfp` replay — a mutation
     * committed under different pipeline params is invisible (its postings
     * were tokenized under another config; see buildOrOpenGen's rebuild
     * discipline). A manifest WITHOUT a pfp field (written before the field
-    * existed) is grandfathered as matching: legacy entries can only exist
-    * under the params they were committed with, because every
-    * params-changing rebuild deletes the mutation log once its new base
-    * commits — dropping them instead would silently lose durable
-    * adds/removes on upgrade. */
+    * existed) is grandfathered as matching — such entries can only exist
+    * under the currently-stored params, and buildOrOpenGen stamps them with
+    * that fingerprint (stampLegacyMutations) before ANY params change can
+    * happen, so the grandfathering clause is only ever exercised for reads
+    * that precede the first post-upgrade open of the store. */
   private def listMutations(root: String, pfp: String): Seq[(Int, String, String)] = {
     val d = Paths.get(mutDir(root))
     if (!Files.isDirectory(d)) return Nil
