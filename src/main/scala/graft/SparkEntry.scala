@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exact over-cap star model + its block-stats observability, n-gram
   * Jaccard, winnowing star edges + anchor-extended span evidence),
   * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
-  * (lang-id, quality, token counts, fingerprints), and event
-  * windowing/sessionization — 29 queries, each with a DuckDB oracle.
+  * (html extraction, lang-id, quality, token counts, fingerprints), and
+  * event windowing/sessionization — 30 queries, each with a DuckDB oracle.
   * Every query has a DuckDB oracle in `oracleSql` with matching column
   * names. Queries whose math is directly SQL-expressible are recomputed from
   * the input tables; the signature-based ones (minhash/simhash/winnow/ann/
@@ -58,6 +58,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => TrainingOps.annLsh(s, d, tau = 0.3)),
     "q_embed_ivf_topk" -> ((s, d) => TrainingOps.embedIvfTopK(s, d)),
     // text analysis
+    "q_html_extract" -> ((s, d) => TrainingOps.htmlExtract(s, d)),
     "q_quality" -> ((s, d) => TrainingOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TrainingOps.tokenCount(s, d)),
     "q_lang_id" -> ((s, d) => TrainingOps.langId(s, d)),
@@ -225,6 +226,16 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY probe_id
          |           ORDER BY cos DESC, vec_id) AS INT) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
+    // Closed-form expected extraction of the deterministic page wrap built
+    // in TrainingOps.htmlExtract — the whitespace class matches
+    // HtmlTextExpr.isWs character-for-character.
+    "q_html_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE trim(concat('T! Doc ', doc_id, ' ',
+        |         trim(regexp_replace(text,
+        |              '[ \t\n\r\f\v\x{00A0}]+', ' ', 'g')))) END AS extracted
+        |FROM documents""".stripMargin,
     "q_quality" ->
       s"""WITH toks AS (SELECT doc_id, term FROM ($POSTINGS_RAW) WHERE term <> '')
          |SELECT doc_id, count(*) AS n_tokens,

@@ -103,7 +103,16 @@ object DedupPipeline {
     * (probability 2^-64) hash value 0. */
   def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = nxs_tokenize(col("text"), coalesce(col("lang"), lit("en")))
-    var df = pages.where(col("text").isNotNull)
+    var df = pages
+    // Common-Crawl ingest: a page carrying only raw html (input_hint's
+    // `html: binary`) flows through deterministic text extraction into the
+    // same tokenizer; a populated text column always wins, and pages with
+    // neither stay excluded below. Narrow codegen'd projection — free when
+    // html is null.
+    if (pages.columns.contains("html"))
+      df = df.withColumn("text",
+        coalesce(col("text"), nxs_html_text(col("html"))))
+    df = df.where(col("text").isNotNull)
     // A caller-provided doc_id (a table's own primary key) is kept; absent
     // one, doc_id = xxhash64(url) with the reference's non-zero invariant.
     if (!pages.columns.contains("doc_id")) df = df

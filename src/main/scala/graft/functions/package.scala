@@ -24,6 +24,12 @@ package object functions {
     column(NxsTokenizeExpr(expression(text), expression(lang),
       filters.mkString(","), stopwords))
 
+  /** HTML → text extraction over the input table's `html: binary` column
+    * (tags/comments/script/style stripped, entities decoded, whitespace
+    * collapsed) — see HtmlTextExpr. */
+  def nxs_html_text(html: Column): Column =
+    column(HtmlTextExpr(expression(html)))
+
   def nxs_shingles(tokens: Column, w: Int = 5, seed: Long = 42L): Column =
     column(ShingleHashesExpr(expression(tokens), w, seed))
 
@@ -75,6 +81,8 @@ package object functions {
       es => NxsTokenizeExpr(es.head,
         es.lift(1).getOrElse(org.apache.spark.sql.catalyst.expressions.Literal("en"))),
       "built-in")
+    reg.createOrReplaceTempFunction("nxs_html_text",
+      es => HtmlTextExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("nxs_shingles",
       es => ShingleHashesExpr(es.head, 5, 42L), "built-in")
     reg.createOrReplaceTempFunction("nxs_minhash",

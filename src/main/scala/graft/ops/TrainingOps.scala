@@ -448,6 +448,31 @@ object TrainingOps {
       .select("doc_id", "lang", "pred_lang")
   }
 
+  /** HTML → text extraction (q_html_extract). The documents table carries
+    * no html column, so each row's text is wrapped — in Spark SQL, fully
+    * deterministically — into a realistic page (comment, style, a script
+    * whose body contains `<` and a quoted `"</p>"` trap, title, attributed
+    * tags with `>` inside a quoted value, numeric entities, entity-escaped
+    * body) and then recovered with `nxs_html_text`. The DuckDB oracle knows
+    * the wrap's expected extraction in closed form ('T! Doc <id>
+    * <ws-collapsed text>') WITHOUT reimplementing the extractor, so tag
+    * stripping, raw-text skipping, comment removal, entity decoding and
+    * whitespace collapse must all hold for the round-trip to match. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = concat(
+      lit("<!DOCTYPE html><html><!-- generator: graft --><head>" +
+        "<style>p{color:red}</style>" +
+        "<script>if(1<2){var s=\"</p>\";}</script>" +
+        "<title>T&#x21;</title></head>" +
+        "<body id=\"b\" data-x='q>r'><h1 class=\"t\">Doc&#32;"),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), esc, lit("</p></body></html>"))
+    documents(spark, dir).select(col("doc_id"),
+      nxs_html_text(encode(html, "UTF-8")).as("extracted"))
+  }
+
   /** Quality scoring: length/punctuation/stopword ratios + mean token
     * length. SQL-expressible; oracle-checked. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
