@@ -52,6 +52,28 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(x("&lt;p&gt;kept&lt;/p&gt;") == "<p>kept</p>")
   }
 
+  test("hardening: literal '<', unquoted attrs, raw-text close boundaries") {
+    // HTML5: '<' before a non-name char is text, not a swallowed tag
+    assert(x("5 < 10 and x > 3") == "5 < 10 and x > 3")
+    assert(x("i <3 u") == "i <3 u")
+    assert(x("a<") == "a<")
+    assert(x("</") == "</")
+    assert(x("</3 x>y") == "y") // '</'+non-letter = bogus comment to '>'
+    // apostrophe inside an UNQUOTED attribute value must not open a quote
+    assert(x("<a title=don't>click</a> more") == "click more")
+    assert(x("<a href = \"x>y\">z</a>") == "z")
+    // '</script' closes only before ws, '/', '>' or EOF
+    assert(x("""<script>var s="</script_tag>";x();</script>real""") == "real")
+    // short comments are complete, not unterminated
+    assert(x("a<!-->b") == "ab")
+    assert(x("a<!--->b") == "ab")
+    // signed numeric entities stay literal (browser behavior)
+    assert(x("&#+65; &#x+41;") == "&#+65; &#x+41;")
+    // ampersands with no ';' within 10 chars stay literal (and the scan is
+    // bounded, so amp-heavy query strings can't go quadratic)
+    assert(x("?a=1&b=2&c=3 done; yes") == "?a=1&b=2&c=3 done; yes")
+  }
+
   test("nxs_html_text column: codegen path, null passthrough") {
     val df = Seq(
       Some("<html><body><h1>T</h1><p>body &amp; soul</p></body></html>"),
