@@ -247,7 +247,11 @@ object Bench {
 
     val results = benches.map { case (name, f) =>
       val (sec, rows) = try medianTime(f) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // Full stack + cause chain: getMessage alone is null for unboxing
+        // NPEs and some VM errors, which made a one-off failure
+        // undiagnosable from the artifact.
+        System.err.println(s"[bench] $name failed: $e")
+        e.printStackTrace()
         (-1.0, -1L)
       }
       (name, sec, rows)

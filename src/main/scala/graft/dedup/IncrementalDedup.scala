@@ -306,9 +306,14 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     }
     releasables.foreach(Materialize.release)
     // Bounded-maintenance fold: transparent to readers (labels identical),
-    // amortized O(store / autoCompactAfter) per batch.
+    // amortized O(store / autoCompactAfter) per batch. Only the LATEST
+    // batch may trigger it: a re-run of an older committed id must return
+    // the label view as of THAT batch (prior :+ batchId), and compact()
+    // would fold every later batch into it.
+    val isLatest = batches().lastOption.contains(batchId)
     val ids =
-      if (autoCompactAfter > 0 && prior.size + 1 >= autoCompactAfter) compact()
+      if (autoCompactAfter > 0 && isLatest &&
+          prior.size + 1 >= autoCompactAfter) compact()
       else prior :+ batchId
     // the documented contract — labels covering every doc in any duplicate
     // relation so far — is the full view, not the delta just written

@@ -64,6 +64,11 @@ object MediaCodecs {
     var dataOff = -1; var dataLen = 0
     while (bb.remaining() >= 8 && (dataOff < 0 || sampleRate == 0)) {
       val tag = tag4(); val len = bb.getInt()
+      // A negative chunk length would move the walk BACKWARDS and re-read
+      // the same header forever — a corrupt blob must fail, never hang an
+      // executor. (Oversized lengths already fail: position() past the
+      // limit throws.)
+      require(len >= 0, s"negative chunk length $len in '$tag'")
       tag match {
         case "fmt " =>
           val p = bb.position()
@@ -84,6 +89,9 @@ object MediaCodecs {
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
     require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
     require(channels > 0, s"invalid channel count $channels")
+    require(dataLen <= bytes.length - dataOff,
+      s"truncated data chunk ($dataLen bytes declared, " +
+        s"${bytes.length - dataOff} present)")
     val nFrames = dataLen / (2 * channels)
     var sumSq = 0.0; var peak = 0.0
     var i = 0
@@ -148,6 +156,7 @@ object MediaCodecs {
     val compression = bb.getInt()
     require(bpp == 24 && compression == 0, s"only 24-bit BI_RGB (bpp=$bpp)")
     val height = math.abs(heightRaw)
+    require(width > 0 && height > 0, s"empty image ($width x $heightRaw)")
     val rowBytes = (width * 3 + 3) & ~3
     var (sr, sg, sbl) = (0.0, 0.0, 0.0)
     var y = 0
@@ -181,6 +190,7 @@ object MediaCodecs {
     val bpp = bb.getShort().toInt
     require(bpp == 24, "dhash: 24-bit BMP only")
     val height = math.abs(heightRaw)
+    require(width > 0 && height > 0, s"dhash: empty image ($width x $heightRaw)")
     val bottomUp = heightRaw > 0
     val rowBytes = (width * 3 + 3) & ~3
     def luma(x: Int, yTop: Int): Double = {

@@ -145,38 +145,87 @@ object MultimodalOps {
     df.withColumn("image", gen(col("doc_id")))
   }
 
-  /** REAL audio decode: RIFF chunk walk + one PCM pass for RMS/peak. */
+  /** Per-row decode isolation: a web-scale media column is GUARANTEED to
+    * carry truncated, mis-declared, and outright garbage blobs, and one of
+    * them must not kill a 10^12-row job — the multimodal seam follows the
+    * same degrade-don't-die rule as vec_cosine's null-on-ragged. Decode
+    * failures (any non-fatal throw from the kernel) drop the row here;
+    * `undecodableAudio`/`undecodableImages` are the quarantine views that
+    * keep the dropped set observable (no silent truncation). */
+  private def isolated[I, O](it: Iterator[I])(f: I => O): Iterator[O] =
+    it.flatMap { i =>
+      try Some(f(i))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private def failures(it: Iterator[(Long, Array[Byte])])(
+      f: Array[Byte] => Any): Iterator[(Long, String)] =
+    it.flatMap { case (id, bytes) =>
+      try { f(bytes); None }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Some((id, (s"${e.getClass.getSimpleName}: ${e.getMessage}").take(200)))
+      }
+    }
+
+  /** REAL audio decode: RIFF chunk walk + one PCM pass for RMS/peak.
+    * Undecodable blobs are dropped (see `isolated`; `undecodableAudio`
+    * lists them). */
   def decodeWav(df: DataFrame): Dataset[WavRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(isolated(_) { case (id, bytes) =>
         val w = MediaCodecs.decodeWav(bytes)
         WavRow(id, w.sampleRate, w.channels, w.bitsPerSample, w.nFrames,
           w.durationSec, w.rms, w.peak)
       })
   }
 
-  /** REAL image decode: header + padded bottom-up pixel rows → channel means. */
+  /** REAL image decode: header + padded bottom-up pixel rows → channel
+    * means. Undecodable blobs are dropped (`undecodableImages` lists
+    * them). */
   def decodeBmp(df: DataFrame): Dataset[BmpRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(isolated(_) { case (id, bytes) =>
         val b = MediaCodecs.decodeBmp(bytes)
         BmpRow(id, b.width, b.height, b.meanR, b.meanG, b.meanB)
       })
   }
 
+  /** Quarantine view: (doc_id, err) for every `audio` blob the WAV decoder
+    * rejects — route these to a dead-letter table instead of losing them
+    * silently. */
+  def undecodableAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions(failures(_)(MediaCodecs.decodeWav))
+      .toDF("doc_id", "err")
+  }
+
+  /** Quarantine view for the `image` column (BMP byte decoder or ImageIO,
+    * same sniffing as imageDHash). */
+  def undecodableImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
+      .mapPartitions(failures(_)(MediaCodecs.dhashImage))
+      .toDF("doc_id", "err")
+  }
+
   /** 64-bit perceptual dHash per image (decode → 9×8 luma resample →
     * gradient bits). Accepts uncompressed BMP (byte-level decoder) AND any
     * JDK-ImageIO-decodable format — JPEG/PNG/GIF — via the sniffing
-    * MediaCodecs.dhashImage; the hash is decoder-independent. */
+    * MediaCodecs.dhashImage; the hash is decoder-independent. Undecodable
+    * blobs are dropped (`undecodableImages` lists them). */
   def imageDHash(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(isolated(_) { case (id, bytes) =>
         (id, MediaCodecs.dhashImage(bytes))
       })
       .toDF("doc_id", "simhash")
