@@ -75,10 +75,9 @@ object IndexStore {
     val p = paramsPath(root)
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p))
-    // same escaped-string shape as StageStore manifests
-    val kv = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
-    val m = kv.findAllMatchIn(s).map(x => x.group(1) -> unesc(x.group(2))).toMap
+    // same escaped-string shape as StageStore manifests; iterative parse
+    // (a regex scrape overflows the stack on long values — see FlatJson)
+    val m = graft.tables.FlatJson.parse(s)
     val cfg = PipelineConfig(
       filters = m.getOrElse("filters", "").split(',').toSeq.filter(_.nonEmpty),
       lang = m.getOrElse("lang", "en"),
@@ -309,14 +308,13 @@ object IndexStore {
     // long-running driver.
     val s = Files.list(d)
     val items = try s.toArray.toSeq.map(_.toString) finally s.close()
-    val pfpRe = """"pfp"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     items.flatMap { p =>
       val name = Paths.get(p).getFileName.toString
       val mf = Paths.get(p, "MANIFEST")
       name.split("_", 2) match {
         case Array(seq, kind) if Files.exists(mf) =>
-          val stamped = pfpRe.findFirstMatchIn(
-            new String(Files.readAllBytes(mf))).map(_.group(1))
+          val stamped = graft.tables.FlatJson
+            .parse(new String(Files.readAllBytes(mf))).get("pfp")
           if (stamped.forall(_ == pfp)) Some((seq.toInt, kind, p)) else None
         case _ => None
       }

@@ -34,10 +34,11 @@ final class StageStore(val spark: SparkSession, val root: String) {
     val p = manifestPath(name)
     if (!Files.exists(p)) None
     else {
-      // flat string-map JSON, written by us
+      // flat string-map JSON, written by us; iterative parse — the manifest
+      // `inputs` lineage grows with stage fan-in and a regex scrape
+      // overflows the stack on long values (see FlatJson)
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val kv = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      Some(kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
+      Some(FlatJson.parse(s))
     }
   }
 

@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   * full stack traces — the bench's error handling only prints
   * `getMessage`, which is null for unboxing NPEs and some Spark aborts.
   *
-  * Usage: IncResumeProbe <storeRoot> <nClusters> <batchId>
+  * Usage: IncResumeProbe <storeRoot> <nClusters> <batchId|compact|clusters>
   * (batchId `delta_<off>` re-derives its pages from the offset, like the
-  * bench's own crashed-batch recovery.)
+  * bench's own crashed-batch recovery; `compact` folds the store;
+  * `clusters` materializes the full resolve.)
   */
 object IncResumeProbe {
   def main(args: Array[String]): Unit = {
@@ -31,15 +32,23 @@ object IncResumeProbe {
     import spark.implicits._
 
     val store = new IncrementalDedup(spark, root, DedupConfig())
-    val off = batchId.stripPrefix("delta_").toLong
     val cCfg = SyntheticCorpus.Config(nClusters = nClusters)
-    def pages = spark.range(off, off + 600)
-      .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
-        .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
-      .toDF()
     try {
-      val labels = store.addBatch(batchId, pages)
-      println(s"OK: ${labels.count()} labels")
+      batchId match {
+        case "compact" =>
+          val ids = store.compact()
+          println(s"OK: compacted to ${ids.mkString(",")}")
+        case "clusters" =>
+          println(s"OK: ${store.clusters().count()} cluster rows")
+        case _ =>
+          val off = batchId.stripPrefix("delta_").toLong
+          def pages = spark.range(off, off + 600)
+            .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
+              .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
+            .toDF()
+          val labels = store.addBatch(batchId, pages)
+          println(s"OK: ${labels.count()} labels")
+      }
     } catch {
       case e: Throwable =>
         println(s"FAILED: ${e.getClass.getName}: ${e.getMessage}")
