@@ -58,6 +58,22 @@ import java.nio.file.{Files, Paths}
  */
 object Bench {
 
+  /** Delta-batch shape of the incremental bench store. Shared with
+    * tools/IncResumeProbe: addBatch is a WRITE path, so a diagnostic
+    * resume of a crashed bench batch must derive byte-identical pages —
+    * a drifted copy of this constant/derivation would commit wrong
+    * content into the store under the same batch id. */
+  val DeltaClusters = 600 // ~1k pages at the corpus cluster-size mix
+  def deltaPages(s: SparkSession, nClusters: Int, off: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cCfg = SyntheticCorpus.Config(nClusters = nClusters)
+    s.range(off, off + DeltaClusters)
+      .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
+        .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
+      .toDF()
+  }
+
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -132,15 +148,8 @@ object Bench {
     incSession.conf.set("spark.sql.shuffle.partitions", "8")
     graft.functions.registerAll(incSession)
     val incStore = new graft.dedup.IncrementalDedup(incSession, incRoot, DedupConfig())
-    val DeltaClusters = 600 // ~1k pages at the corpus cluster-size mix
-    def deltaPages(off: Long) = {
-      import incSession.implicits._ // store inputs must share its session
-      val cCfg = SyntheticCorpus.Config(nClusters = nClusters)
-      incSession.range(off, off + DeltaClusters)
-        .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
-          .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
-        .toDF()
-    }
+    // store inputs must share its session, hence incSession here
+    def deltas(off: Long) = deltaPages(incSession, nClusters, off)
     // Monotone cluster-id offset so every delta batch (across invocations)
     // has fresh, deterministic content and ids.
     val offFile = java.nio.file.Paths.get(incRoot, "DELTA_OFFSET")
@@ -163,7 +172,7 @@ object Bench {
       else existing.find(id => !new java.io.File(
           s"$incRoot/labels_$id/MANIFEST.json").exists()).foreach {
         case id if id.startsWith("delta_") =>
-          incStore.addBatch(id, deltaPages(id.stripPrefix("delta_").toLong))
+          incStore.addBatch(id, deltas(id.stripPrefix("delta_").toLong))
         case _ => incStore.addBatch("base", incSession.read.parquet(corpusPath))
       }
       if (incStore.batches().size > 8) { incStore.compact(); () }
@@ -219,7 +228,7 @@ object Bench {
       // the delta label stage (tiny).
       "incremental_delta_ingest" -> (() => {
         val off = nextDeltaOffset()
-        incStore.addBatch(s"delta_$off", deltaPages(off))
+        incStore.addBatch(s"delta_$off", deltas(off))
         incSession.read.parquet(s"$incRoot/labels_delta_$off/data").count()
       }),
       // Production shape: build the DURABLE index once (index_build times

@@ -66,9 +66,15 @@ object MediaCodecs {
       val tag = tag4(); val len = bb.getInt()
       // A negative chunk length would move the walk BACKWARDS and re-read
       // the same header forever — a corrupt blob must fail, never hang an
-      // executor. (Oversized lengths already fail: position() past the
-      // limit throws.)
+      // executor.
       require(len >= 0, s"negative chunk length $len in '$tag'")
+      // Word-aligned skip, clamped to the buffer: a final chunk missing its
+      // pad byte (common in the wild) or a data chunk declaring more bytes
+      // than the file carries must not die in position() here — the
+      // declared-vs-present check after the walk reports truncation
+      // precisely. Long math: p + len can overflow Int.
+      def skipFrom(p: Int): Unit =
+        bb.position(math.min(p.toLong + len + (len & 1), bb.limit().toLong).toInt)
       tag match {
         case "fmt " =>
           val p = bb.position()
@@ -78,12 +84,12 @@ object MediaCodecs {
           sampleRate = bb.getInt()
           bb.getInt(); bb.getShort()
           bits = bb.getShort()
-          bb.position(p + len + (len & 1)) // chunks are word-aligned
+          skipFrom(p)
         case "data" =>
           dataOff = bb.position(); dataLen = len
-          bb.position(bb.position() + len + (len & 1))
+          skipFrom(dataOff)
         case _ =>
-          bb.position(bb.position() + len + (len & 1))
+          skipFrom(bb.position())
       }
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")

@@ -150,8 +150,9 @@ object MultimodalOps {
     * them must not kill a 10^12-row job — the multimodal seam follows the
     * same degrade-don't-die rule as vec_cosine's null-on-ragged. Decode
     * failures (any non-fatal throw from the kernel) drop the row here;
-    * `undecodableAudio`/`undecodableImages` are the quarantine views that
-    * keep the dropped set observable (no silent truncation). */
+    * the quarantine views (`undecodableAudio`, `undecodableImages`,
+    * `undecodableBmp` — each keyed to the SAME kernel as the decode it
+    * mirrors) keep every dropped set observable (no silent truncation). */
   private def isolated[I, O](it: Iterator[I])(f: I => O): Iterator[O] =
     it.flatMap { i =>
       try Some(f(i))
@@ -183,8 +184,10 @@ object MultimodalOps {
   }
 
   /** REAL image decode: header + padded bottom-up pixel rows → channel
-    * means. Undecodable blobs are dropped (`undecodableImages` lists
-    * them). */
+    * means. Blobs this BMP kernel rejects are dropped — that includes
+    * formats imageDHash WOULD accept via ImageIO (PNG/JPEG), so the
+    * matching quarantine is `undecodableBmp`, keyed to this same kernel
+    * (`undecodableImages` is keyed to imageDHash's wider sniffing path). */
   def decodeBmp(df: DataFrame): Dataset[BmpRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -206,13 +209,26 @@ object MultimodalOps {
       .toDF("doc_id", "err")
   }
 
-  /** Quarantine view for the `image` column (BMP byte decoder or ImageIO,
-    * same sniffing as imageDHash). */
+  /** Quarantine view for the `image` column on the DHASH path (BMP byte
+    * decoder or ImageIO, same sniffing as imageDHash): lists exactly the
+    * rows imageDHash drops. */
   def undecodableImages(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
       .mapPartitions(failures(_)(MediaCodecs.dhashImage))
+      .toDF("doc_id", "err")
+  }
+
+  /** Quarantine view for the BMP DECODE path: lists exactly the rows
+    * decodeBmp drops — a superset of undecodableImages, since the byte
+    * kernel rejects everything that is not an uncompressed 24-bit BMP
+    * (a valid PNG lands here but not in the dHash quarantine). */
+  def undecodableBmp(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
+      .mapPartitions(failures(_)(MediaCodecs.decodeBmp))
       .toDF("doc_id", "err")
   }
 

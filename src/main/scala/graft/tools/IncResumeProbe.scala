@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.corpus.SyntheticCorpus
 import graft.dedup.{DedupConfig, IncrementalDedup}
 import org.apache.spark.sql.SparkSession
 
@@ -29,10 +28,8 @@ object IncResumeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
-    import spark.implicits._
 
     val store = new IncrementalDedup(spark, root, DedupConfig())
-    val cCfg = SyntheticCorpus.Config(nClusters = nClusters)
     try {
       batchId match {
         case "compact" =>
@@ -41,12 +38,11 @@ object IncResumeProbe {
         case "clusters" =>
           println(s"OK: ${store.clusters().count()} cluster rows")
         case _ =>
+          // addBatch is a WRITE path: the resumed batch's pages must be
+          // byte-identical to what the crashed bench derived, so this MUST
+          // be Bench's own derivation, never a local copy of it.
           val off = batchId.stripPrefix("delta_").toLong
-          def pages = spark.range(off, off + 600)
-            .flatMap(c => (0 until SyntheticCorpus.sizeOf(cCfg, c))
-              .map(m => SyntheticCorpus.pageOf(cCfg, c, m)))
-            .toDF()
-          val labels = store.addBatch(batchId, pages)
+          val labels = store.addBatch(batchId, graft.Bench.deltaPages(spark, nClusters, off))
           println(s"OK: ${labels.count()} labels")
       }
     } catch {

@@ -26,14 +26,8 @@ class HtmlTextFuzzSpec extends AnyFunSuite {
     HtmlTextExpr.extract(bytes).toString
   private def xs(html: String): String = x(html.getBytes("UTF-8"))
 
-  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
-        .foreach(f)
-      i += 1
-    }
-  }
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    graft.SeededGen.forAll(gen, n)(f)
 
   // Mirrors HtmlTextExpr.isWs (the collapse class) — kept in sync by the
   // "collapse class chars never survive" assertions below.
@@ -86,8 +80,8 @@ class HtmlTextFuzzSpec extends AnyFunSuite {
           s.take(k) + b.toChar + s.drop(math.min(k + 1, s.length))
       },
       Gen.zip(Gen.choose(0, page.length), Gen.choose(0, page.length)).map {
-        case (a, b) => (s: String) =>
-          s.take(math.max(a, b)) + s.drop(math.min(a, b))
+        case (a, b) => (s: String) => // delete the [min, max) range
+          s.take(math.min(a, b)) + s.drop(math.max(a, b))
       })
     val mutated = Gen.choose(1, 4)
       .flatMap(n => Gen.listOfN(n, mutation))

@@ -11,14 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * the offline classpath), so runs are deterministic. */
 class KernelPropertiesSpec extends AnyFunSuite {
 
-  private def forAll[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
-        .foreach(f)
-      i += 1
-    }
-  }
+  private def forAll[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit =
+    graft.SeededGen.forAll(gen, n)(f)
 
   private def arr(tokens: Seq[String]) =
     new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])

@@ -161,5 +161,40 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(quarantined == Seq(10L, 11L))
     val means = MultimodalOps.decodeBmp(df).collect().map(_.doc_id).toSeq
     assert(means == Seq(1L)) // the PNG is not a BMP; byte decoder skips it
+    // ...and the BMP-path quarantine lists that PNG (its kernel rejects
+    // it), so decodeBmp output ∪ undecodableBmp covers every input row —
+    // nothing disappears from both views.
+    val bmpQuarantine = MultimodalOps.undecodableBmp(df)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bmpQuarantine == Seq(2L, 10L, 11L))
+  }
+
+  test("over-declared data chunk fails as truncation, not a walk error") {
+    // synthWav's data length field lives at offset 40; declare 100 more
+    // bytes than the file carries — the clamped walk completes and the
+    // declared-vs-present check reports it precisely.
+    val w = MediaCodecs.synthWav(5L, nFrames = 1000)
+    val bb = java.nio.ByteBuffer.wrap(w).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 2000 + 100)
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeWav(w))
+    assert(e.getMessage.contains("truncated data chunk"))
+  }
+
+  test("final chunk missing its pad byte still decodes") {
+    // An odd-length trailing LIST chunk with no pad byte: the clamped walk
+    // must not throw positioning past the buffer.
+    val base = MediaCodecs.synthWav(6L, nFrames = 500)
+    val extra = 7 // odd payload, no pad
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8 + extra)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(base)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(extra)
+    bb.put(Array.fill(extra)(1.toByte))
+    // grow the RIFF size field to cover the new chunk
+    val out = bb.array()
+    java.nio.ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, out.length - 8)
+    val w = MediaCodecs.decodeWav(out)
+    assert(w.nFrames == 500 && w.sampleRate == 8000)
   }
 }

@@ -22,14 +22,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * (same pattern as HtmlTextFuzzSpec). */
 class QueryParserFuzzSpec extends AnyFunSuite {
 
-  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
-        .foreach(f)
-      i += 1
-    }
-  }
+  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    graft.SeededGen.forAll(gen, n)(f)
 
   private def assertTotal(q: String): Unit =
     QueryParser.parse(q) match {
