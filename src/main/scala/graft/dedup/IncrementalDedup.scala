@@ -130,9 +130,17 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   private def bucketStage(id: String) = s"buckets_$id"
   private def labelStage(id: String) = s"labels_$id"
 
+  /** Scan partitions of a many-stage union track the store's FILE count,
+    * and a checkpoint or shuffle-free consumer inherits that layout — on a
+    * 20-batch store that measured 1000+ near-empty tasks per consumer.
+    * Coalesce (no shuffle) to the session's parallelism; BucketParts keeps
+    * a floor matching the bucket table's partition fan-out. */
+  private def unionParts: Int =
+    math.max(spark.sparkContext.defaultParallelism, BucketParts)
+
   private def readSigs(ids: Seq[String]): Option[DataFrame] =
     ids.map(id => spark.read.parquet(s"$root/${sigStage(id)}/data"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_ unionByName _).map(_.coalesce(unionParts))
 
   /** Stored signatures restricted to `docIds` — the sigs stages are written
     * doc_id-sorted with a doc_id bloom filter (the same at-rest mechanism as
@@ -155,12 +163,18 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val sample = keys.limit(IncrementalDedup.MaxSigIdPushdown + 1).collect()
     if (sample.length <= IncrementalDedup.MaxSigIdPushdown)
       df.where(col(keyCol).isin(sample.map(_.getLong(0)): _*))
-    else df.join(keys.toDF(keyCol), Seq(keyCol), "left_semi")
+    else
+      // Explicit broadcast: every caller passes a delta-bounded key set, but
+      // it sits behind filters/joins whose selectivity the planner can't
+      // estimate, so without the hint this plans sort-merge and EXCHANGES
+      // the full stored relation (measured: a 1 GB sigs shuffle per delta
+      // batch) instead of streaming it past a broadcast hash probe.
+      df.join(broadcast(keys.toDF(keyCol)), Seq(keyCol), "left_semi")
   }
 
   private def readLabels(ids: Seq[String]): DataFrame =
     ids.map(id => spark.read.parquet(s"$root/${labelStage(id)}/data")
-      .select("id", "comp")).reduce(_ unionByName _)
+      .select("id", "comp")).reduce(_ unionByName _).coalesce(unionParts)
 
   /** The current FULL label view over the delta label stages: one row per
     * labeled doc, comp = its current component. Labels are monotonically
@@ -183,6 +197,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         .where(col("bpt").isin(touchedPts: _*))
         .select("pass", "bucket_key", "doc_id")
     }.reduce(_ unionByName _)
+      // see unionParts — measured 800+ near-empty tasks per consumer
+      // without it, on a 10-batch store
+      .coalesce(unionParts)
 
   private def bptCol = pmod(col("bucket_key"), lit(BucketParts.toLong)).cast("int")
 
@@ -275,7 +292,13 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // the persisted form every later batch's touched-bucket read prunes.
     val bucketsNew = store.runStage(bucketStage(batchId), cfgFp,
       inputs = Seq(sigStage(batchId)), partitionCols = Seq("bpt")) {
+      // Cluster by bpt before the partitioned write: without it every write
+      // task emits a file into every bpt dir (tasks × 64 small files per
+      // stage); clustered, a dir gets one file and the store's file count —
+      // which bounds the scan fan-in of every later touched-bucket read —
+      // stays at BucketParts per batch.
       DedupPipeline.bucketed(sigsNew, cfg).withColumn("bpt", bptCol)
+        .repartition(BucketParts, col("bpt"))
     }
 
     // DELTA label stage: only the rows the scoped CC re-derives (new-edge
@@ -298,8 +321,15 @@ final class IncrementalDedup(spark: SparkSession, root: String,
           deltaEdges(prior, sigsNew, bucketsNew, releasables)
             .select("src", "dst"))
         releasables += newEdges
-        val out = ConnectedComponents
-          .run(relabelInputs(readLabels(prior), newEdges, releasables))
+        // Eagerly materialize the (delta-sized) CC input: CC's adjacency is
+        // a LAZY checkpoint, so its first fused job evaluates the input
+        // subtree once per reference (2-3×) before the blocks exist —
+        // measured as repeated full label-store scans per batch. One tiny
+        // eager checkpoint makes those references block reads.
+        val ccInput = Materialize(
+          relabelInputs(readLabels(prior), newEdges, releasables))
+        releasables += ccInput
+        val out = ConnectedComponents.run(ccInput)
           .select(col("id"), col("comp"))
         out
       }
@@ -454,6 +484,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       ids.map(id => spark.read.parquet(s"$root/${bucketStage(id)}/data")
           .select("pass", "bucket_key", "doc_id", "bpt"))
         .reduce(_ unionByName _)
+        .repartition(BucketParts, col("bpt")) // one file per dir (see addBatch)
     }
     store.runStage(labelStage(foldId), cfgFp,
       inputs = ids.map(labelStage),
