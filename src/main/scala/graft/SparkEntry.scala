@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Jaccard, winnowing star edges + anchor-extended span evidence),
   * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
   * (html extraction, lang-id, quality, token counts, fingerprints), and
-  * event windowing/sessionization — 30 queries, each with a DuckDB oracle.
+  * event windowing/sessionization — 31 queries, each with a DuckDB oracle.
   * Every query has a DuckDB oracle in `oracleSql` with matching column
   * names. Queries whose math is directly SQL-expressible are recomputed from
   * the input tables; the signature-based ones (minhash/simhash/winnow/ann/
@@ -41,6 +41,7 @@ object SparkEntry {
     "q_lang_dist" -> ((s, d) => RelationalOps.langDist(s, d)),
     "q_fuzzy_resolve" -> ((s, d) => RelationalOps.fuzzyResolve(s, d)),
     // dedup family
+    "q_url_normalize" -> ((s, d) => TrainingOps.urlCanonical(s, d)),
     "q_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccard(s, d)),
     "q_minhash_dedup" -> ((s, d) => TrainingOps.minhashDedup(s, d)),
@@ -154,6 +155,51 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // Re-derives BOTH the messy-URL synthesis and the RFC 3986 §6
+    // normalization (fragment/case/default-port/trailing-dot/empty-path/
+    // tracking-params/param-sort) — see functions.url_normalize.
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443'
+        |          WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ''
+        |          ELSE '/A/b' || CAST(doc_id % 13 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+        |          WHEN doc_id % 4 = 1 THEN '?z=1&utm_campaign=c&y='
+        |          WHEN doc_id % 4 = 2 THEN '?gclid=abc' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url_raw
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, url_raw,
+        |    lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(pre, '^[^:/?#]+://[^/?#]*([^?]*)', 1) AS raw_path,
+        |    regexp_extract(pre, '\?(.*)$', 1) AS rawq
+        |  FROM (SELECT doc_id, url_raw,
+        |          regexp_extract(url_raw, '^[^#]*', 0) AS pre FROM u)),
+        |r AS (
+        |  SELECT doc_id, url_raw, scheme,
+        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '\.$', '') AS host,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |             '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)'))), '&') AS qs
+        |  FROM q)
+        |SELECT doc_id, url_raw,
+        |  CASE WHEN scheme = '' THEN NULL ELSE
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |               AND NOT (scheme = 'https' AND port = '443')
+        |          THEN ':' || port ELSE '' END) ||
+        |    path ||
+        |    (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+        |  END AS url_norm
+        |FROM r""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id, term FROM ($POSTINGS)),
          |counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),

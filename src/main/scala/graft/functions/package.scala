@@ -74,6 +74,46 @@ package object functions {
       seed: Long = 42L): Column =
     column(WinnowPosExpr(expression(tokens), a, win, seed))
 
+  /** RFC 3986 §6 syntax-based URL canonicalization for Common-Crawl-style
+    * ingest, as a pure composition of codegen'd built-ins (no UDF): the
+    * pipeline keys document identity on xxhash64(url), so trivially-variant
+    * URLs of one page (case-shifted scheme/host, default ports, fragments,
+    * tracking parameters, unordered query strings) would otherwise mint
+    * distinct doc_ids and silently duplicate the page past exact dedup.
+    *
+    * Steps: drop the fragment; lowercase scheme + host; strip the host's
+    * trailing dot; drop a default port (http:80, https:443 — ONLY exact
+    * textual matches: ':0080' is out of normalization scope); empty path →
+    * '/'; drop `utm_*`/`gclid`/`fbclid`/`msclkid` query parameters; sort
+    * the remaining parameters byte-lexicographically (duplicates kept,
+    * order within duplicates normalized by the sort's stability on value);
+    * drop an emptied query. Percent-encoding and dot-segment normalization
+    * are intentionally out of scope (they need a decoder, not syntax).
+    * Returns NULL for inputs without a `scheme://` prefix — malformed rows
+    * degrade, they don't kill the job (same contract as vec_cosine). */
+  def url_normalize(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val pre = regexp_extract(url, "^[^#]*", 0)
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(pre, "^[^:/?#]+://([^/?#]*)", 1))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val host = regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "\\.$", "")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(pre, "^[^:/?#]+://[^/?#]*([^?]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val params = filter(split(regexp_extract(pre, "\\?(.*)$", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"))
+    val qs = array_join(array_sort(params), "&")
+    when(scheme === "", lit(null).cast("string")).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise("")))
+  }
+
   /** Register SQL-callable forms (static default configs). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -36,6 +36,32 @@ object TrainingOps {
 
   // ---- dedup family ----
 
+  /** URL canonicalization over a synthesized messy-URL column (case-shifted
+    * scheme/host, default + explicit ports, trailing host dots, empty
+    * paths, tracking parameters, unordered query strings, fragments — all
+    * derived deterministically from doc_id so the DuckDB oracle re-derives
+    * the identical input). The op under test is
+    * `graft.functions.url_normalize`; ingest that keys doc identity on
+    * xxhash64(url) applies it first so one page's URL variants collapse to
+    * one doc_id. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val messy = concat(
+      when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+      lit("Example"), (id % 7).cast("string"), lit(".COM"),
+      when(id % 11 === 0, ".").otherwise(""),
+      when(id % 5 === 0, ":80")
+        .when(id % 5 === 1, ":443")
+        .when(id % 5 === 2, ":8080").otherwise(""),
+      when(id % 3 === 0, "").otherwise(concat(lit("/A/b"), (id % 13).cast("string"))),
+      when(id % 4 === 0, "?utm_source=x&b=2&a=1")
+        .when(id % 4 === 1, "?z=1&utm_campaign=c&y=")
+        .when(id % 4 === 2, "?gclid=abc").otherwise(""),
+      when(id % 6 === 0, "#sec-2").otherwise(""))
+    documents(spark, dir).select(id, messy.as("url_raw"),
+      graft.functions.url_normalize(messy).as("url_norm"))
+  }
+
   /** Exact dedup by content digest: groups on (xxhash64, sha256) of the
     * text, so the shuffle carries two fixed-width digests instead of full
     * document bodies — the difference between shuffling ~40 bytes/doc and
