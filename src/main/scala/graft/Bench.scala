@@ -169,8 +169,7 @@ object Bench {
       val existing = incStore.batches()
       if (existing.isEmpty)
         incStore.addBatch("base", incSession.read.parquet(corpusPath))
-      else existing.find(id => !new java.io.File(
-          s"$incRoot/labels_$id/MANIFEST.json").exists()).foreach {
+      else incStore.incompleteBatch().foreach {
         case id if id.startsWith("delta_") =>
           incStore.addBatch(id, deltas(id.stripPrefix("delta_").toLong))
         case _ => incStore.addBatch("base", incSession.read.parquet(corpusPath))
@@ -355,7 +354,13 @@ object Bench {
       val pairs = (1 to nPairs).map { _ => (leg(8), leg(cpus)) }
       val valid = pairs.filter { case (t8, tHi) => t8 >= tHi }
       val effs = valid.map { case (t8, tHi) => (t8 / tHi) / (cpus / 8.0) }.sorted
-      val effMed = if (effs.isEmpty) -1.0 else effs(effs.size / 2)
+      // True median: for even survivor counts average the two middles —
+      // effs(size/2) alone is the UPPER middle, which overstates the
+      // efficiency exactly when a storm pair was discarded (3 → 2 pairs).
+      val effMed =
+        if (effs.isEmpty) -1.0
+        else if (effs.size % 2 == 1) effs(effs.size / 2)
+        else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
       val consistent = valid.size == pairs.size
       val pairsJson = pairs.map { case (t8, tHi) =>
         f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f}""" }.mkString("[", ",", "]")

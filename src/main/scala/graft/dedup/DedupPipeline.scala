@@ -109,7 +109,12 @@ object DedupPipeline {
     // same tokenizer; a populated text column always wins, and pages with
     // neither stay excluded below. Narrow codegen'd projection — free when
     // html is null.
-    if (pages.columns.contains("html"))
+    // Type-gated, not name-gated: HtmlTextExpr expects BinaryType with no
+    // implicit cast, so a string-typed `html` column (raw page text, a
+    // common caller shape) must flow through untouched instead of failing
+    // analysis.
+    if (pages.schema.exists(f => f.name == "html" &&
+        f.dataType == org.apache.spark.sql.types.BinaryType))
       df = df.withColumn("text",
         coalesce(col("text"), nxs_html_text(col("html"))))
     df = df.where(col("text").isNotNull)
@@ -404,6 +409,19 @@ object DedupPipeline {
     // duplicate ids; addBatch dedups in-batch), but a caller slipping two
     // rows with one doc_id and different (warc_ts, url) should not get two
     // champions out of it.
+    //
+    // Boundary: rows that are FULLY identical (the same crawl record
+    // ingested twice — a contract violation the incremental path rejects
+    // at ingest) each carry the champion flag, because identical rows are
+    // indistinguishable without positional state. The alternatives all
+    // cost more than the pathology: a window reintroduces the single-task
+    // mega-cluster sort this aggregate exists to avoid, a full-row
+    // dropDuplicates adds a corpus-wide shuffle to every run, and a
+    // monotonic row id is nondeterministic across the two plan branches
+    // that would have to agree on it (risking ZERO champions). Callers
+    // ingesting possibly-duplicated crawl records dedup at ingest like
+    // IncrementalDedup.addBatch does; identical champion copies are the
+    // same record either way.
     val champs = labeled
       .groupBy("cluster_id")
       .agg(min(struct(col("warc_ts"), col("url"), col("doc_id"))).as("c"))

@@ -126,6 +126,16 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     writeBatches(batches() :+ id)
   }
 
+  /** The earliest listed batch whose label stage (the last stage of an
+    * ingest) never committed — i.e. a batch a killed ingest left half done.
+    * Re-running addBatch with that id resumes it at its first uncommitted
+    * stage; it must be resumed before new batches or a compact. Public so
+    * callers (e.g. bench harnesses) probe the invariant through one
+    * accessor instead of re-implementing store-layout knowledge. */
+  def incompleteBatch(): Option[String] =
+    batches().find(id => !Files.exists(
+      Paths.get(root, labelStage(id), "MANIFEST.json")))
+
   private def sigStage(id: String) = s"sigs_$id"
   private def bucketStage(id: String) = s"buckets_$id"
   private def labelStage(id: String) = s"labels_$id"
@@ -237,8 +247,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         // stages; a NEW id on top of it would read missing tables. Fail with
         // the resume instruction instead (re-running the crashed id resumes
         // at its first uncommitted stage — the supported recovery path).
-        b.find(id => !Files.exists(
-            Paths.get(root, labelStage(id), "MANIFEST.json"))).foreach { bad =>
+        incompleteBatch().foreach { bad =>
           throw new IllegalStateException(
             s"batch '$bad' is partially ingested — re-run addBatch(\"$bad\", ...) " +
               "to resume it before ingesting new batches")
@@ -464,8 +473,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     requireConfigMatch() // every store entry point enforces the pinned config
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
-    ids.find(id => !Files.exists(
-        Paths.get(root, labelStage(id), "MANIFEST.json"))).foreach { bad =>
+    incompleteBatch().foreach { bad =>
       throw new IllegalStateException(
         s"batch '$bad' is partially ingested — resume it before compacting")
     }

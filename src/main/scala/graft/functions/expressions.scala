@@ -57,8 +57,13 @@ object NxsTokenizeExpr {
   private val DROPPED = new Object
   private val MAX_MEMO = 1 << 16
   private val MAX_MEMO_CFGS = 64
+  // LinkedHashMap in ACCESS order: eviction below removes the eldest
+  // (least-recently-used) config, so a hot config genuinely survives
+  // garbage-config churn — a plain HashMap's bucket-order "arbitrary"
+  // eviction can land on the hot entry every time.
   private val memo = ThreadLocal.withInitial(() =>
-    new java.util.HashMap[PipelineConfig, java.util.HashMap[String, AnyRef]]())
+    new java.util.LinkedHashMap[PipelineConfig,
+      java.util.HashMap[String, AnyRef]](16, 0.75f, true))
 
   /** Static entry used by both interpreted eval and codegen. */
   def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
@@ -82,10 +87,12 @@ object NxsTokenizeExpr {
       var inner = byCfg.get(cfg)
       if (inner == null) {
         if (byCfg.size >= MAX_MEMO_CFGS) {
-          // Evict ONE arbitrary config instead of clearing the map: a corpus
+          // Evict the LEAST-RECENTLY-USED config (access-order iteration
+          // starts at the eldest) instead of clearing the map: a corpus
           // whose corrupt lang values mint configs past the cap must not
-          // reset the memo of every HOT config each time (near-zero hit rate
-          // on that thread otherwise); hot configs stay, the garbage churns.
+          // reset the memo of every HOT config each time (near-zero hit
+          // rate on that thread otherwise); hot configs stay, the garbage
+          // churns.
           val it = byCfg.entrySet().iterator()
           if (it.hasNext) { it.next(); it.remove() }
         }

@@ -238,10 +238,34 @@ object MediaCodecs {
     * they arrived as BMP bytes or a JPEG stream. The luma here reads the
     * sRGB ints ImageIO produces with the same BT.601-style coefficients as
     * the BMP path. */
+  /** Decompression-bomb bound for the ImageIO path: a few-KB stream can
+    * DECLARE e.g. 40000×40000 px, and decoding it allocates gigabytes and
+    * throws OutOfMemoryError — which is fatal (NonFatal does not match), so
+    * it would escape MultimodalOps' per-row isolation and kill the job. The
+    * header is read via an ImageReader BEFORE any pixel allocation and
+    * over-bound images are rejected as undecodable rows instead. 64 Mpx
+    * (≤ ~256 MB ARGB) bounds a worst-case row without excluding any real
+    * web image. */
+  private val MaxImagePixels = 64L << 20
+
   def dhashImage(bytes: Array[Byte]): Long =
     if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       dhash(bytes)
     else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "dhashImage: undecodable image bytes")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val (w, h) =
+          try (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          finally reader.dispose()
+        require(w > 0 && h > 0 && w * h <= MaxImagePixels,
+          s"dhashImage: declared dimensions ${w}x$h exceed the " +
+            s"$MaxImagePixels-pixel decode bound")
+      } finally iis.close()
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       require(img != null, "dhashImage: undecodable image bytes")

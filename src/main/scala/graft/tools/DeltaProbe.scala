@@ -74,7 +74,12 @@ object DeltaProbe {
 
     val offFile = Paths.get(incRoot, "DELTA_OFFSET")
     def nextOff(): Long = {
-      val cur = new String(Files.readAllBytes(offFile)).trim.toLong
+      // same fallback as Bench.nextDeltaOffset: a store whose delta query
+      // never ran has no DELTA_OFFSET file yet
+      val cur =
+        if (Files.exists(offFile))
+          new String(Files.readAllBytes(offFile)).trim.toLong
+        else nClusters.toLong
       Files.write(offFile, (cur + graft.Bench.DeltaClusters).toString.getBytes)
       cur
     }

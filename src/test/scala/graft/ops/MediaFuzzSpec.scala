@@ -169,6 +169,45 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(bmpQuarantine == Seq(2L, 10L, 11L))
   }
 
+  test("decompression-bomb image is rejected before pixel allocation") {
+    // A syntactically valid PNG whose IHDR declares 50000x50000 (~10 GB
+    // ARGB): ImageIO.read would OOM — and OutOfMemoryError is FATAL, so it
+    // would escape the per-row isolation and kill the job. The header-read
+    // dimension bound must reject it as an undecodable ROW instead.
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      dos.writeInt(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      dos.write(tb); dos.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      dos.writeInt(crc.getValue.toInt)
+      bos.toByteArray
+    }
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(50000).putInt(50000) // width, height
+      b.put(8.toByte).put(6.toByte) // bit depth, color type RGBA
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val bombPng =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty)
+    val e = intercept[IllegalArgumentException] {
+      MediaCodecs.dhashImage(bombPng)
+    }
+    assert(e.getMessage.contains("decode bound"))
+    // ...and through the Spark surface it lands in quarantine, job alive
+    val df = Seq((1L, MediaCodecs.synthBmp(1L)), (7L, bombPng))
+      .toDF("doc_id", "image")
+    assert(MultimodalOps.imageDHash(df).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    assert(MultimodalOps.undecodableImages(df).collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("over-declared data chunk fails as truncation, not a walk error") {
     // synthWav's data length field lives at offset 40; declare 100 more
     // bytes than the file carries — the clamped walk completes and the
