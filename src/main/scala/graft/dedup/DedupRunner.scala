@@ -48,31 +48,51 @@ object DedupRunner {
     * multi-executor cluster"):
     *
     *   spark-submit --class graft.dedup.DedupRunner nxsearchspark.jar \
-    *     <pages_parquet> <out_parquet> <stage_root> [incremental_batch_id]
+    *     [--normalize-urls] <pages_parquet> <out_parquet> <stage_root> \
+    *     [batch_id | --compact]
     *
     * Reads pages(url, warc_ts, html, text, lang), writes clusters(url,
     * doc_id, cluster_id, is_champion). All session sizing (master, executor
     * count/memory, shuffle partitions, AQE, checkpoint dir) comes from
-    * spark-submit conf — the code only declares the plan. With a 4th
+    * spark-submit conf — the code only declares the plan. With a trailing
     * argument the input is ingested as one IncrementalDedup batch against
     * the store at `<stage_root>/incremental` instead of a from-scratch
     * recluster; the special batch id `--compact` instead folds the store's
     * committed batches into one generation (labels unchanged) and writes
-    * the current clusters. */
+    * the current clusters.
+    *
+    * `--normalize-urls` canonicalizes the url column at ingest
+    * (functions.url_normalize): doc identity is xxhash64(url), so without
+    * it case-shifted hosts, default ports, fragments and tracking params
+    * mint duplicate doc_ids for one page. Rows whose url fails to
+    * normalize (no scheme) keep their raw url — degraded identity beats a
+    * dropped row. The flag participates in doc identity, so ingests into
+    * one incremental store must use it consistently (it changes xxhash64
+    * inputs, not store layout — hence not part of the pinned DedupConfig). */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: DedupRunner <pages_parquet> <out_parquet> <stage_root> " +
-        "[batch_id | --compact]")
-    val Array(in, out, root) = args.take(3)
+    val (flags, pos) = args.partition(_ == "--normalize-urls")
+    require(pos.length >= 3,
+      "usage: DedupRunner [--normalize-urls] <pages_parquet> <out_parquet> " +
+        "<stage_root> [batch_id | --compact]")
+    val Array(in, out, root) = pos.take(3)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-dedup").getOrCreate()
+    def pages = {
+      val raw = spark.read.parquet(in)
+      if (flags.isEmpty) raw
+      else raw.withColumn("url",
+        org.apache.spark.sql.functions.coalesce(
+          graft.functions.url_normalize(
+            org.apache.spark.sql.functions.col("url")),
+          org.apache.spark.sql.functions.col("url")))
+    }
     val clusters =
-      if (args.length >= 4) {
+      if (pos.length >= 4) {
         val inc = new IncrementalDedup(spark, s"$root/incremental")
-        if (args(3) == "--compact") inc.compact()
-        else inc.addBatch(args(3), spark.read.parquet(in)): Unit
+        if (pos(3) == "--compact") inc.compact()
+        else inc.addBatch(pos(3), pages): Unit
         inc.clusters()
-      } else run(spark.read.parquet(in), DedupConfig(), root)
+      } else run(pages, DedupConfig(), root)
     clusters.write.mode("overwrite").parquet(out)
     spark.stop()
   }

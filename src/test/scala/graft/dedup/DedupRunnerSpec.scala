@@ -186,6 +186,18 @@ class DedupRunnerSpec extends AnyFunSuite {
     val probe = inc.readSigsFor(Seq("b1", "b2"), Seq(1010L).toDF("doc_id"))
     val plan = probe.queryExecution.executedPlan.toString
     assert("""PushedFilters: \[[^\]]*doc_id""".r.findFirstIn(plan).isDefined, plan)
+
+    // past the IN-pushdown cap, the key probe must degrade to a BROADCAST
+    // semi-join: the planner can't estimate the key side's selectivity, so
+    // without the explicit hint it plans sort-merge and EXCHANGES the full
+    // stored sigs table per batch (measured 1 GB of shuffle on the bench
+    // store) — pin the plan shape so the hint can't silently regress
+    val manyKeys = spark.range(0,
+      IncrementalDedup.MaxSigIdPushdown.toLong + 512).toDF("doc_id")
+    val big = inc.readSigsFor(Seq("b1", "b2"), manyKeys)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastHashJoin") &&
+      !bigPlan.contains("SortMergeJoin"), bigPlan)
   }
 
   test("stale label rows across comp merges stay harmless (delta store)") {
