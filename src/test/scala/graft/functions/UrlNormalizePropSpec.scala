@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for url_normalize against an INDEPENDENT parser —
+  * java.net.URI — over generated URL-safe components: the Column
+  * implementation is a regex decomposition, so its structural claims
+  * (scheme/host extraction, port handling, query filtering/sorting) are
+  * checked here by a parser that shares none of its code. Generated
+  * components stay in the URL-safe subset both parsers define identically;
+  * percent-encoding and exotic authority forms are out of the op's
+  * documented scope. */
+class UrlNormalizePropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val TrackRe = "^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)".r
+
+  private case class Parts(scheme: String, host: String, port: Int,
+      trailDot: Boolean, path: String, params: Seq[String], frag: Option[String]) {
+    def render: String = {
+      val hp = host + (if (trailDot) "." else "") +
+        (if (port >= 0) s":$port" else "")
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      scheme + "://" + hp + path + q + frag.map("#" + _).getOrElse("")
+    }
+  }
+
+  private def mixCase(s: String, flips: Int): Gen[String] =
+    Gen.listOfN(flips, Gen.choose(0, math.max(0, s.length - 1))).map { idx =>
+      val arr = s.toCharArray
+      idx.foreach(i => arr(i) = arr(i).toUpper)
+      new String(arr)
+    }
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val genParam: Gen[String] = Gen.frequency(
+    (4, for { k <- word; v <- Gen.option(word) }
+      yield v.fold(k)(k + "=" + _)),
+    (2, word.map(k => s"utm_$k=x")),
+    (1, Gen.oneOf("gclid=abc", "fbclid=1", "msclkid=z", "utm_source", "")),
+    (1, word.map(k => s"${k}utm_x=kept"))) // tracking prefix NOT at start
+
+  private val genParts: Gen[Parts] = for {
+    scheme0 <- Gen.oneOf("http", "https")
+    scheme <- mixCase(scheme0, 2)
+    hostLabels <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
+    host <- mixCase(hostLabels.mkString("."), 3)
+    port <- Gen.oneOf(-1, -1, 80, 443, 8080, 65535)
+    trailDot <- Gen.oneOf(true, false, false)
+    segs <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, word))
+    path = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
+    params <- Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, genParam))
+    frag <- Gen.option(word)
+  } yield Parts(scheme, host, port, trailDot, path, params, frag)
+
+  private def normalize(urls: Seq[String]): Seq[String] = {
+    val out = urls.toDF("url").select(url_normalize($"url")).collect()
+    out.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("structural agreement with java.net.URI over generated URLs") {
+    val cases = scala.collection.mutable.ArrayBuffer.empty[Parts]
+    graft.SeededGen.forAll(genParts, 300)(cases += _)
+    val urls = cases.map(_.render).toSeq
+    val got = normalize(urls)
+    cases.zip(got).foreach { case (p, norm) =>
+      assert(norm != null, p.render)
+      val uri = new java.net.URI(norm)
+      // scheme + host: lowercase of the input's, trailing dot stripped
+      assert(uri.getScheme == p.scheme.toLowerCase, p.render)
+      assert(uri.getHost == p.host.toLowerCase, s"${p.render} -> $norm")
+      // fragment always dropped
+      assert(uri.getFragment == null, norm)
+      // default ports dropped, others kept (URI reports -1 for absent)
+      val defaultPort =
+        (p.scheme.toLowerCase == "http" && p.port == 80) ||
+          (p.scheme.toLowerCase == "https" && p.port == 443)
+      val expectedPort = if (p.port < 0 || defaultPort) -1 else p.port
+      assert(uri.getPort == expectedPort, s"${p.render} -> $norm")
+      // path preserved, except empty -> "/"
+      assert(uri.getRawPath == (if (p.path.isEmpty) "/" else p.path),
+        s"${p.render} -> $norm")
+      // query = input params minus tracking/empties, sorted, multiset-kept
+      val kept = p.params.filter(x =>
+        x.nonEmpty && TrackRe.findFirstIn(x).isEmpty).sorted
+      val gotQ = Option(uri.getRawQuery).map(_.split("&").toSeq.sorted)
+        .getOrElse(Seq.empty)
+      assert(gotQ == kept, s"${p.render} -> $norm")
+    }
+  }
+
+  test("idempotence over generated URLs") {
+    val cases = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SeededGen.forAll(genParts, 200)(p => cases += p.render)
+    val once = normalize(cases.toSeq)
+    assert(normalize(once) == once)
+  }
+}
