@@ -55,7 +55,13 @@ final case class DedupConfig(
     broadcastOverCapKeys: Boolean = true, // see edgesRaw
     runMinhash: Boolean = true,
     runSimhash: Boolean = true,
-    runWinnow: Boolean = true) {
+    runWinnow: Boolean = true,
+    // Canonicalize urls (functions.url_normalize) before doc_id derivation.
+    // Part of DOC IDENTITY, hence part of this pinned config: an
+    // incremental store ingested with mixed settings would mint two
+    // doc_ids for one page and silently lose cross-batch dedup — the
+    // config fingerprint makes a mismatch loud instead.
+    normalizeUrls: Boolean = false) {
   require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal k")
   require(smallCap >= 2, "smallCap must allow at least one pair")
 }
@@ -104,19 +110,35 @@ object DedupPipeline {
   def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = nxs_tokenize(col("text"), coalesce(col("lang"), lit("en")))
     var df = pages
+    // URL canonicalization participates in DOC IDENTITY (doc_id =
+    // xxhash64(url) below), so it lives here — inside the pipeline, under
+    // the pinned DedupConfig — not as an outer transform a caller could
+    // apply inconsistently across batches of one incremental store.
+    // Unnormalizable urls (no scheme) keep their raw value: degraded
+    // identity beats a dropped row.
+    if (cfg.normalizeUrls)
+      df = df.withColumn("url",
+        coalesce(graft.functions.url_normalize(col("url")), col("url")))
     // Common-Crawl ingest: a page carrying only raw html (input_hint's
     // `html: binary`) flows through deterministic text extraction into the
     // same tokenizer; a populated text column always wins, and pages with
     // neither stay excluded below. Narrow codegen'd projection — free when
     // html is null.
-    // Type-gated, not name-gated: HtmlTextExpr expects BinaryType with no
-    // implicit cast, so a string-typed `html` column (raw page text, a
-    // common caller shape) must flow through untouched instead of failing
-    // analysis.
-    if (pages.schema.exists(f => f.name == "html" &&
-        f.dataType == org.apache.spark.sql.types.BinaryType))
-      df = df.withColumn("text",
-        coalesce(col("text"), nxs_html_text(col("html"))))
+    // Type-AWARE, not name-gated: HtmlTextExpr expects BinaryType with no
+    // implicit cast. A string-typed `html` column (parquet written from
+    // JSON is a common caller shape) is cast — string→binary is exactly
+    // the UTF-8 bytes the expression decodes — so html-only pages keep
+    // flowing instead of being silently dropped by the text filter below.
+    pages.schema.find(_.name == "html").foreach { f =>
+      val htmlBin = f.dataType match {
+        case org.apache.spark.sql.types.BinaryType => Some(col("html"))
+        case org.apache.spark.sql.types.StringType =>
+          Some(col("html").cast("binary"))
+        case _ => None // exotic type: ignore the column, keep the job alive
+      }
+      htmlBin.foreach(h =>
+        df = df.withColumn("text", coalesce(col("text"), nxs_html_text(h))))
+    }
     df = df.where(col("text").isNotNull)
     // A caller-provided doc_id (a table's own primary key) is kept; absent
     // one, doc_id = xxhash64(url) with the reference's non-zero invariant.

@@ -17,7 +17,8 @@ object DedupRunner {
       s"t${cfg.tau}h${cfg.simhashMaxHamming}a${cfg.winnowA}" +
       s"win${cfg.winnowWindow}s${cfg.seed}cap${cfg.smallCap}" +
       s"bc${cfg.broadcastOverCapKeys}" +
-      s"m${cfg.runMinhash}sh${cfg.runSimhash}wn${cfg.runWinnow}"
+      s"m${cfg.runMinhash}sh${cfg.runSimhash}wn${cfg.runWinnow}" +
+      s"un${cfg.normalizeUrls}"
 
   /** pages → clusters, checkpointed under `ckptRoot`. */
   def run(pages: DataFrame, cfg: DedupConfig, ckptRoot: String): DataFrame = {
@@ -61,38 +62,32 @@ object DedupRunner {
     * committed batches into one generation (labels unchanged) and writes
     * the current clusters.
     *
-    * `--normalize-urls` canonicalizes the url column at ingest
-    * (functions.url_normalize): doc identity is xxhash64(url), so without
-    * it case-shifted hosts, default ports, fragments and tracking params
-    * mint duplicate doc_ids for one page. Rows whose url fails to
-    * normalize (no scheme) keep their raw url — degraded identity beats a
-    * dropped row. The flag participates in doc identity, so ingests into
-    * one incremental store must use it consistently (it changes xxhash64
-    * inputs, not store layout — hence not part of the pinned DedupConfig). */
+    * `--normalize-urls` sets DedupConfig.normalizeUrls: urls are
+    * canonicalized (functions.url_normalize) INSIDE the pipeline before
+    * doc_id = xxhash64(url), so case-shifted hosts, default ports,
+    * fragments and tracking params stop minting duplicate doc_ids for one
+    * page. Because that participates in doc identity, the setting is part
+    * of the pinned config: an incremental store ingested with the flag
+    * rejects a later flagless ingest (requireConfigMatch) instead of
+    * silently losing cross-batch dedup. Rows whose url fails to normalize
+    * (no scheme) keep their raw url — degraded identity beats a dropped
+    * row. */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_ == "--normalize-urls")
     require(pos.length >= 3,
       "usage: DedupRunner [--normalize-urls] <pages_parquet> <out_parquet> " +
         "<stage_root> [batch_id | --compact]")
     val Array(in, out, root) = pos.take(3)
+    val cfg = DedupConfig(normalizeUrls = flags.nonEmpty)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-dedup").getOrCreate()
-    def pages = {
-      val raw = spark.read.parquet(in)
-      if (flags.isEmpty) raw
-      else raw.withColumn("url",
-        org.apache.spark.sql.functions.coalesce(
-          graft.functions.url_normalize(
-            org.apache.spark.sql.functions.col("url")),
-          org.apache.spark.sql.functions.col("url")))
-    }
     val clusters =
       if (pos.length >= 4) {
-        val inc = new IncrementalDedup(spark, s"$root/incremental")
+        val inc = new IncrementalDedup(spark, s"$root/incremental", cfg)
         if (pos(3) == "--compact") inc.compact()
-        else inc.addBatch(pos(3), pages): Unit
+        else inc.addBatch(pos(3), spark.read.parquet(in)): Unit
         inc.clusters()
-      } else run(pages, DedupConfig(), root)
+      } else run(spark.read.parquet(in), cfg, root)
     clusters.write.mode("overwrite").parquet(out)
     spark.stop()
   }

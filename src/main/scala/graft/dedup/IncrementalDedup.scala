@@ -78,7 +78,8 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     import cfg._
     s"w=$shingleW|k=$minhashK|b=$bands|r=$rowsPerBand|tau=$tau|d=$simhashMaxHamming|" +
       s"wa=$winnowA|ww=$winnowWindow|seed=$seed|cap=$smallCap|" +
-      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$BucketParts"
+      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$BucketParts|" +
+      s"un=$normalizeUrls" // url canonicalization = doc identity (see DedupConfig)
   }
 
   private def batchesPath = Paths.get(root, "BATCHES")

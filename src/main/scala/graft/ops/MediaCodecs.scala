@@ -252,22 +252,28 @@ object MediaCodecs {
     if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       dhash(bytes)
     else {
+      // One stream, one reader, one parse: the header probe (dimension
+      // bound) and the pixel decode share the reader — ImageIO.read after
+      // a separate probe would rebuild the (temp-file-backed) input stream
+      // and re-parse the container on every row of the corpus. reader
+      // selection matches ImageIO.read (first registered reader), and
+      // read(0) is the same first-frame decode it performs.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, "dhashImage: undecodable image bytes")
-        val reader = readers.next()
-        reader.setInput(iis)
-        val (w, h) =
-          try (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
-          finally reader.dispose()
-        require(w > 0 && h > 0 && w * h <= MaxImagePixels,
-          s"dhashImage: declared dimensions ${w}x$h exceed the " +
-            s"$MaxImagePixels-pixel decode bound")
-      } finally iis.close()
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "dhashImage: undecodable image bytes")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            require(w > 0 && h > 0 && w * h <= MaxImagePixels,
+              s"dhashImage: declared dimensions ${w}x$h exceed the " +
+                s"$MaxImagePixels-pixel decode bound")
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
       require(img != null, "dhashImage: undecodable image bytes")
       def luma(x: Int, y: Int): Double = {
         val rgb = img.getRGB(x, y)

@@ -311,4 +311,54 @@ class DedupPipelineSpec extends AnyFunSuite {
     val comps = hotUrls.select("cluster_id").distinct().count()
     assert(comps == 1, s"hot cluster split into $comps components")
   }
+
+  test("string-typed html column extracts instead of silently dropping rows") {
+    // parquet written from JSON commonly carries html as STRING; an
+    // html-only page (text null) must flow through extraction via a
+    // binary cast, not vanish at the text-notnull filter.
+    val doc = "<html><body><p>alpha beta gamma delta</p></body></html>"
+    val pagesStr = Seq(
+      ("https://s/1", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        doc, null: String, "en"),
+      ("https://s/2", java.sql.Timestamp.valueOf("2020-01-01 00:00:01"),
+        null: String, "plain text here", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val sigs = DedupPipeline.signatures(pagesStr, cfg)
+    assert(sigs.count() == 2, "html-only page must survive ingest")
+    // and an exotic html type is ignored, not fatal
+    val pagesInt = Seq(("https://s/3",
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:02"), 7, "t", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    assert(DedupPipeline.signatures(pagesInt, cfg).count() == 1)
+  }
+
+  test("normalizeUrls is doc identity: pinned per store, applied in-pipeline") {
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val variants = Seq(
+      ("HTTP://Dup.COM:80/p?utm_source=x&b=2&a=1#f", ts,
+        null: Array[Byte], "w1 w2 w3 w4 w5 w6", "en"),
+      ("http://dup.com/p?a=1&b=2", ts,
+        null: Array[Byte], "w1 w2 w3 w4 w5 w6", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    // in-pipeline: both variants collapse to ONE canonical doc_id
+    val norm = DedupPipeline.signatures(variants,
+      DedupConfig(normalizeUrls = true))
+    assert(norm.select("doc_id").distinct().count() == 1)
+    assert(norm.select("url").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("http://dup.com/p?a=1&b=2"))
+    // without the flag they stay distinct identities
+    assert(DedupPipeline.signatures(variants, DedupConfig())
+      .select("doc_id").distinct().count() == 2)
+
+    // store pin: a flagged store rejects a flagless ingest LOUDLY
+    val root = java.nio.file.Files.createTempDirectory("incnorm").toString
+    val flagged = new IncrementalDedup(spark, root,
+      DedupConfig(normalizeUrls = true))
+    flagged.addBatch("b1", variants)
+    val flagless = new IncrementalDedup(spark, root, DedupConfig())
+    val e = intercept[IllegalArgumentException] {
+      flagless.addBatch("b2", variants)
+    }
+    assert(e.getMessage.contains("config"))
+  }
 }
