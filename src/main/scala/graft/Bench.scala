@@ -166,6 +166,12 @@ object Bench {
     // a delta batch a killed bench left half-ingested (its pages re-derive
     // from the id), and a compact once the per-invocation batches pile up.
     try {
+      // Config probe FIRST: a store pinned under an older config fingerprint
+      // passes every setup branch below when it looks healthy (non-empty,
+      // no incomplete batch, under the compact bound) and the mismatch then
+      // explodes inside the TIMED delta query. Probing here routes it into
+      // this try's rebuild path, untimed.
+      incStore.checkConfig()
       val existing = incStore.batches()
       if (existing.isEmpty)
         incStore.addBatch("base", incSession.read.parquet(corpusPath))

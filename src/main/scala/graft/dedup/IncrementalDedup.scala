@@ -127,6 +127,13 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     writeBatches(batches() :+ id)
   }
 
+  /** Enforce the store's pinned config without writing anything: the same
+    * check every write/read entry point performs, exposed so a harness can
+    * verify a persisted store is usable by THIS instance up front (a
+    * mismatch otherwise surfaces only at the first store operation —
+    * possibly inside timed work). */
+  def checkConfig(): Unit = requireConfigMatch()
+
   /** The earliest listed batch whose label stage (the last stage of an
     * ingest) never committed — i.e. a batch a killed ingest left half done.
     * Re-running addBatch with that id resumes it at its first uncommitted

@@ -360,5 +360,8 @@ class DedupPipelineSpec extends AnyFunSuite {
       flagless.addBatch("b2", variants)
     }
     assert(e.getMessage.contains("config"))
+    // ...and the write-free probe harnesses use up front reports the same
+    intercept[IllegalArgumentException](flagless.checkConfig())
+    flagged.checkConfig() // matching instance passes
   }
 }
