@@ -456,7 +456,15 @@ object DedupPipeline {
 
   /** End-to-end: pages → clusters(url, doc_id, cluster_id, is_champion).
     * cluster_id = min doc_id in the component; champion = earliest
-    * (warc_ts, url) — deterministic, replay-stable tie-break. */
+    * (warc_ts, url) — deterministic, replay-stable tie-break.
+    *
+    * Champion-uniqueness contract: exactly one champion ROW VALUE per
+    * cluster — the minimal (warc_ts, url, doc_id) triple. Rows that are
+    * FULLY identical on that triple (one crawl record ingested twice — a
+    * contract violation IncrementalDedup.addBatch rejects at ingest) each
+    * carry is_champion = true; consumers that COUNT champions must count
+    * distinct champion triples, not flagged rows. See resolveClusters for
+    * why positional dedup here would cost more than the pathology. */
   def clusters(pages: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
     clustersFromSigs(signatures(pages, cfg), cfg)
 

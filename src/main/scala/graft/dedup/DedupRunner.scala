@@ -71,7 +71,13 @@ object DedupRunner {
     * rejects a later flagless ingest (requireConfigMatch) instead of
     * silently losing cross-batch dedup. Rows whose url fails to normalize
     * (no scheme) keep their raw url — degraded identity beats a dropped
-    * row. */
+    * row.
+    *
+    * Output contract: one champion VALUE per cluster (the minimal
+    * (warc_ts, url, doc_id) triple); fully identical duplicate rows — a
+    * contract violation the incremental path rejects at ingest — would each
+    * carry the flag, so champion counts must count distinct triples (see
+    * DedupPipeline.clusters). */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_ == "--normalize-urls")
     require(pos.length >= 3,

@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
  *   sigs_<batch>/     (url, doc_id, warc_ts, band_keys|simhash|winnow_fps)
  *                     doc_id-sorted + bloomed (point reads prune at rest)
  *   buckets_<batch>/  (pass, bucket_key, doc_id) partitioned by
- *                     bpt = pmod(bucket_key, BucketParts)
+ *                     bpt = pmod(bucket_key, bucketParts)
  *   labels_<batch>/   (id, comp) — DELTA: only the rows this batch's scoped
  *                     CC re-derived; the full view is min(comp) per id
  *                     across stages (labels are monotonically
@@ -69,16 +69,29 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // count reaches this bound — the knob that keeps an UNBOUNDED ingest
     // (streaming micro-batches land one stage each) at a bounded stage
     // fan-in without the caller scheduling maintenance. 0 = manual compact.
-    autoCompactAfter: Int = 0) {
+    autoCompactAfter: Int = 0,
+    // Hive-partition fan-out of the persisted bucket table — a STORE-CREATION
+    // parameter, not a compile-time constant: a web-scale store wants its
+    // fan-out to track the cluster's parallelism (e.g. 4096) while a local
+    // test store wants a value small batches demonstrably prune. Part of the
+    // pinned config fingerprint (it is physical layout): opening a store
+    // with a different value fails with the config-mismatch message instead
+    // of silently mis-pruning partition filters.
+    bucketParts: Int = IncrementalDedup.BucketParts,
+    // Max doc_id keys pushed as an IN-literal into a stored-sigs scan;
+    // larger key sets resolve by join. A pure READ-path knob — it changes no
+    // stored byte — so it is deliberately NOT pinned in CONFIG: retuning it
+    // on an existing store is safe and supported.
+    maxSigIdPushdown: Int = IncrementalDedup.MaxSigIdPushdown) {
 
-  import IncrementalDedup.BucketParts
+  require(bucketParts > 0, "bucketParts must be positive")
 
   private val store = new StageStore(spark, root)
   private val cfgFp = {
     import cfg._
     s"w=$shingleW|k=$minhashK|b=$bands|r=$rowsPerBand|tau=$tau|d=$simhashMaxHamming|" +
       s"wa=$winnowA|ww=$winnowWindow|seed=$seed|cap=$smallCap|" +
-      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$BucketParts|" +
+      s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$bucketParts|" +
       s"un=$normalizeUrls" // url canonicalization = doc identity (see DedupConfig)
   }
 
@@ -151,14 +164,22 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   /** Scan partitions of a many-stage union track the store's FILE count,
     * and a checkpoint or shuffle-free consumer inherits that layout — on a
     * 20-batch store that measured 1000+ near-empty tasks per consumer.
-    * Coalesce (no shuffle) to the session's parallelism; BucketParts keeps
+    * Coalesce (no shuffle) to the session's parallelism; bucketParts keeps
     * a floor matching the bucket table's partition fan-out. */
   private def unionParts: Int =
-    math.max(spark.sparkContext.defaultParallelism, BucketParts)
+    math.max(spark.sparkContext.defaultParallelism, bucketParts)
 
-  private def readSigs(ids: Seq[String]): Option[DataFrame] =
+  /** `capParts = true` is the DELTA-read layout fix above and is wrong for
+    * corpus-sized reads: the compact() fold streams the ENTIRE stored sigs
+    * relation through this read, and coalescing that to unionParts caps the
+    * fold's read/write parallelism at a handful of oversized tasks on a
+    * large store. Corpus-scale callers (compact, clusters) pass false and
+    * keep the native one-partition-per-file layout. */
+  private def readSigs(ids: Seq[String],
+      capParts: Boolean = true): Option[DataFrame] =
     ids.map(id => spark.read.parquet(s"$root/${sigStage(id)}/data"))
-      .reduceOption(_ unionByName _).map(_.coalesce(unionParts))
+      .reduceOption(_ unionByName _)
+      .map(df => if (capParts) df.coalesce(unionParts) else df)
 
   /** Stored signatures restricted to `docIds` — the sigs stages are written
     * doc_id-sorted with a doc_id bloom filter (the same at-rest mechanism as
@@ -178,21 +199,36 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * bloat — still row-pruned before any wide column ships). */
   private def keyFiltered(df: DataFrame, keyCol: String,
       keys: DataFrame): DataFrame = {
-    val sample = keys.limit(IncrementalDedup.MaxSigIdPushdown + 1).collect()
-    if (sample.length <= IncrementalDedup.MaxSigIdPushdown)
+    val sample = keys.limit(maxSigIdPushdown + 1).collect()
+    if (sample.length <= maxSigIdPushdown)
       df.where(col(keyCol).isin(sample.map(_.getLong(0)): _*))
-    else
+    else {
       // Explicit broadcast: every caller passes a delta-bounded key set, but
       // it sits behind filters/joins whose selectivity the planner can't
       // estimate, so without the hint this plans sort-merge and EXCHANGES
       // the full stored relation (measured: a 1 GB sigs shuffle per delta
       // batch) instead of streaming it past a broadcast hash probe.
-      df.join(broadcast(keys.toDF(keyCol)), Seq(keyCol), "left_semi")
+      //
+      // Bounded, though: "delta-bounded" can still be millions of rows (a
+      // real daily crawl's duplicate-id probe passes the WHOLE incoming
+      // batch's doc_ids), and an unconditional hint would build an
+      // arbitrarily large broadcast relation — driver/executor OOM. Above
+      // MaxBroadcastKeys (8-byte keys ⇒ ~tens of MB of relation) the hint
+      // is dropped and AQE picks the join strategy from the key set's
+      // actual runtime size. The bound probe is one cheap limit+count job
+      // on the (narrow) key relation, paid only past the IN-pushdown cap.
+      val bounded = keys.limit(IncrementalDedup.MaxBroadcastKeys + 1).count() <=
+        IncrementalDedup.MaxBroadcastKeys
+      val rhs = keys.toDF(keyCol)
+      df.join(if (bounded) broadcast(rhs) else rhs, Seq(keyCol), "left_semi")
+    }
   }
 
-  private def readLabels(ids: Seq[String]): DataFrame =
+  private def readLabels(ids: Seq[String],
+      capParts: Boolean = true): DataFrame =
     ids.map(id => spark.read.parquet(s"$root/${labelStage(id)}/data")
-      .select("id", "comp")).reduce(_ unionByName _).coalesce(unionParts)
+      .select("id", "comp")).reduce(_ unionByName _)
+      .transform(df => if (capParts) df.coalesce(unionParts) else df)
 
   /** The current FULL label view over the delta label stages: one row per
     * labeled doc, comp = its current component. Labels are monotonically
@@ -201,8 +237,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * across stages IS `min(comp) per id` — one aggregate, no stage
     * sequencing, and a pre-delta-format store (whose stages are full
     * snapshots) reads identically. */
-  private def fullLabels(ids: Seq[String]): DataFrame =
-    readLabels(ids).groupBy("id").agg(min("comp").as("comp"))
+  private def fullLabels(ids: Seq[String],
+      capParts: Boolean = true): DataFrame =
+    readLabels(ids, capParts).groupBy("id").agg(min("comp").as("comp"))
 
   /** The stored bucket relation of `ids`, read with a STATIC partition
     * filter on the touched bucket partitions — the filter is applied per
@@ -219,7 +256,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       // without it, on a 10-batch store
       .coalesce(unionParts)
 
-  private def bptCol = pmod(col("bucket_key"), lit(BucketParts.toLong)).cast("int")
+  private def bptCol = pmod(col("bucket_key"), lit(bucketParts.toLong)).cast("int")
 
   /** Stores ingested before the partitioned bucket-table format have
     * sigs_/labels_ stages but no buckets_ stage; fail with a migration
@@ -313,9 +350,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       // task emits a file into every bpt dir (tasks × 64 small files per
       // stage); clustered, a dir gets one file and the store's file count —
       // which bounds the scan fan-in of every later touched-bucket read —
-      // stays at BucketParts per batch.
+      // stays at bucketParts per batch.
       DedupPipeline.bucketed(sigsNew, cfg).withColumn("bpt", bptCol)
-        .repartition(BucketParts, col("bpt"))
+        .repartition(bucketParts, col("bpt"))
     }
 
     // DELTA label stage: only the rows the scoped CC re-derives (new-edge
@@ -423,7 +460,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     import DedupPipeline.{PassMinhash, PassSimhash, PassWinnow}
     val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
-    // The touched partition set is at most BucketParts values — a driver
+    // The touched partition set is at most bucketParts values — a driver
     // scalar derived from the (delta-sized) new bucket stage.
     val touchedPts = bNew.select("bpt").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -493,22 +530,23 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       s"fold${ids.length}_${(ids.mkString(",").hashCode & 0x7fffffff).toHexString}"
     store.runStage(sigStage(foldId), cfgFp, inputs = ids.map(sigStage),
       sortCols = Seq("doc_id"), bloomCols = Seq("doc_id")) {
-      readSigs(ids).get
+      readSigs(ids, capParts = false).get
     }
     store.runStage(bucketStage(foldId), cfgFp,
       inputs = ids.map(bucketStage), partitionCols = Seq("bpt")) {
       ids.map(id => spark.read.parquet(s"$root/${bucketStage(id)}/data")
           .select("pass", "bucket_key", "doc_id", "bpt"))
         .reduce(_ unionByName _)
-        .repartition(BucketParts, col("bpt")) // one file per dir (see addBatch)
+        .repartition(bucketParts, col("bpt")) // one file per dir (see addBatch)
     }
     store.runStage(labelStage(foldId), cfgFp,
       inputs = ids.map(labelStage),
       sortCols = Seq("comp"), bloomCols = Seq("id", "comp")) {
       // collapse the delta label stages to the full min view — one row per
       // labeled doc, stale rows gone; min over the single fold stage is
-      // then the identity, so reads stay uniform
-      fullLabels(ids)
+      // then the identity, so reads stay uniform. Corpus-sized fold read:
+      // no partition cap (see readSigs).
+      fullLabels(ids, capParts = false)
     }
     writeBatches(Seq(foldId)) // commit point
     // best-effort cleanup of the folded batches
@@ -548,19 +586,28 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     requireConfigMatch()
     val ids = batches()
     require(ids.nonEmpty, "no batches ingested")
-    val docs = readSigs(ids).get.select("url", "doc_id", "warc_ts")
-    DedupPipeline.resolveClusters(docs, fullLabels(ids))
+    val docs = readSigs(ids, capParts = false).get
+      .select("url", "doc_id", "warc_ts")
+    DedupPipeline.resolveClusters(docs, fullLabels(ids, capParts = false))
   }
 }
 
 object IncrementalDedup {
-  /** Hive-partition fan-out of the persisted bucket table. At web scale the
-    * right value tracks the cluster's parallelism (e.g. 4096); here it is
-    * sized so local test batches demonstrably prune (part of the config
-    * fingerprint — changing it invalidates the store). */
+  /** Default hive-partition fan-out of the persisted bucket table (see the
+    * `bucketParts` constructor parameter — a store-creation choice pinned
+    * in CONFIG). Sized so local test batches demonstrably prune; a
+    * web-scale store passes its cluster parallelism (e.g. 4096). */
   val BucketParts = 64
 
-  /** Max doc_id keys pushed as an IN-literal into a stored-sigs scan;
-    * larger key sets resolve by semi-join instead. */
+  /** Default for the `maxSigIdPushdown` constructor parameter: max doc_id
+    * keys pushed as an IN-literal into a stored-sigs scan; larger key sets
+    * resolve by join instead. */
   val MaxSigIdPushdown = 4096
+
+  /** Key-set row bound above which keyFiltered's semi-join drops its
+    * broadcast hint and lets AQE pick the strategy — an unbounded broadcast
+    * of a crawl-sized key set is a driver OOM, and past this size the
+    * relation is large enough that AQE's runtime statistics make the right
+    * call anyway. 1M 8-byte keys ≈ a few tens of MB broadcast at most. */
+  val MaxBroadcastKeys = 1 << 20
 }

@@ -263,6 +263,42 @@ class DedupRunnerSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("bucketParts is a per-store creation parameter pinned in CONFIG") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = SyntheticCorpus.pages(spark,
+      SyntheticCorpus.Config(nClusters = 60)).cache()
+    def half(i: Int) = corpus.where(abs(xxhash64(col("url"))) % 2 === i)
+    def snap(inc: IncrementalDedup) = inc.clusters()
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    // two stores with different fan-outs, side by side
+    val stores = Seq(8, 64).map { bp =>
+      val root = java.nio.file.Files.createTempDirectory(s"incbp$bp").toString
+      val inc = new IncrementalDedup(spark, root, bucketParts = bp)
+      inc.addBatch("b0", half(0))
+      inc.addBatch("b1", half(1))
+      (bp, root, snap(inc))
+    }
+    // fan-out is physical layout only: labels identical across values
+    assert(stores(0)._3 == stores(1)._3 && stores(0)._3.nonEmpty)
+    // the bp=8 store's bucket table really fans out to <= 8 partition dirs
+    val dirs8 = new java.io.File(s"${stores(0)._2}/buckets_b0/data")
+      .listFiles().count(_.getName.startsWith("bpt="))
+    assert(dirs8 > 0 && dirs8 <= 8, s"bpt dirs: $dirs8")
+    // reopen under the same bucketParts: config pin passes, labels resume
+    stores.foreach { case (bp, root, before) =>
+      val re = new IncrementalDedup(spark, root, bucketParts = bp)
+      re.checkConfig()
+      assert(snap(re) == before)
+    }
+    // a mismatched bucketParts fails loud with the pinned-config message
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalDedup(spark, stores(0)._2, bucketParts = 64).checkConfig()
+    }
+    assert(e.getMessage.contains("built with config"))
+    corpus.unpersist()
+  }
+
   test("config change invalidates downstream stages (fingerprint lineage)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_run3").toString
     val pages = SyntheticCorpus.pages(spark, corpusCfg)
