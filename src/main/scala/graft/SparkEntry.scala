@@ -156,35 +156,57 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     // Re-derives BOTH the messy-URL synthesis and the RFC 3986 §6
-    // normalization (fragment/case/default-port/trailing-dot/empty-path/
-    // tracking-params/param-sort) — see functions.url_normalize.
+    // normalization (pct-escapes/fragment/case/userinfo/default-port/
+    // trailing-dot/empty-path/tracking-params/param-sort) — see
+    // functions.url_normalize and pct_normalize.
     "q_url_normalize" ->
       """WITH u AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN 'uSeR:p@' ELSE '' END) ||
         |    'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
         |    (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
         |    (CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443'
         |          WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END) ||
         |    (CASE WHEN doc_id % 3 = 0 THEN ''
         |          ELSE '/A/b' || CAST(doc_id % 13 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 8 = 0 AND doc_id % 3 <> 0
+        |          THEN '%7Ea%2f%4B%zz%25' ELSE '' END) ||
         |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
         |          WHEN doc_id % 4 = 1 THEN '?z=1&utm_campaign=c&y='
         |          WHEN doc_id % 4 = 2 THEN '?gclid=abc' ELSE '' END) ||
         |    (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url_raw
         |  FROM documents),
+        |pct AS (
+        |  SELECT doc_id, url_raw,
+        |    parts[1] || coalesce(array_to_string(list_transform(parts[2:], x ->
+        |      CASE WHEN NOT regexp_matches(upper(substring(x,1,2)), '^[0-9A-F]{2}$')
+        |           THEN '%' || x
+        |           WHEN (upper(substring(x,1,2)) BETWEEN '41' AND '5A')
+        |             OR (upper(substring(x,1,2)) BETWEEN '61' AND '7A')
+        |             OR (upper(substring(x,1,2)) BETWEEN '30' AND '39')
+        |             OR upper(substring(x,1,2)) IN ('2D','2E','5F','7E')
+        |           THEN decode(from_hex(upper(substring(x,1,2)))) || substring(x,3)
+        |           ELSE '%' || upper(substring(x,1,2)) || substring(x,3) END),
+        |      ''), '') AS upct
+        |  FROM (SELECT doc_id, url_raw, string_split(url_raw, '%') AS parts
+        |        FROM u)),
         |q AS (
         |  SELECT doc_id, url_raw,
         |    lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
         |    regexp_extract(pre, '^[^:/?#]+://[^/?#]*([^?]*)', 1) AS raw_path,
         |    regexp_extract(pre, '\?(.*)$', 1) AS rawq
         |  FROM (SELECT doc_id, url_raw,
-        |          regexp_extract(url_raw, '^[^#]*', 0) AS pre FROM u)),
+        |          regexp_extract(upct, '^[^#]*', 0) AS pre FROM pct)),
         |r AS (
         |  SELECT doc_id, url_raw, scheme,
-        |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '\.$', '') AS host,
-        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_replace(auth, '^.*@', '')), ':[0-9]+$', ''),
+        |      '\.$', '') AS host,
+        |    regexp_extract(lower(regexp_replace(auth, '^.*@', '')),
+        |      ':([0-9]+)$', 1) AS port,
         |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
         |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
         |      x -> x <> '' AND NOT regexp_matches(x,
@@ -192,7 +214,7 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, url_raw,
         |  CASE WHEN scheme = '' THEN NULL ELSE
-        |    scheme || '://' || host ||
+        |    scheme || '://' || userinfo || host ||
         |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
         |               AND NOT (scheme = 'https' AND port = '443')
         |          THEN ':' || port ELSE '' END) ||
@@ -237,9 +259,18 @@ object SparkEntry {
     // coordinate means, empty cells keep their centroid — see
     // TrainingOps.lloydCentroids), then the same probe-cell ranking and
     // in-cell top-k. range(1, 65): the testdata embeddings are 64-dim.
+    // cents0 re-derives TrainingOps.sampleInit: lowest-16 rows of the
+    // overflow-safe LCG hash of vec_id (seed 42), cell = 0-based rank.
     "q_embed_ivf_topk" ->
-      s"""WITH cents0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-         |               FROM embeddings WHERE vec_id < 16),
+      s"""WITH cents0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY
+         |           ((vec_id % 2147483647) * 1103515245 + 42) % 2147483648,
+         |           vec_id) AS BIGINT) - 1 AS cell,
+         |         CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    ((vec_id % 2147483647) * 1103515245 + 42) % 2147483648,
+         |    vec_id) <= 16),
          |${lloydIterSql(1)},
          |${lloydIterSql(2)},
          |assign AS (

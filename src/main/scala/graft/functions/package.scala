@@ -74,30 +74,68 @@ package object functions {
       seed: Long = 42L): Column =
     column(WinnowPosExpr(expression(tokens), a, win, seed))
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization, pure codegen'd
+    * built-ins: decode escapes of UNRESERVED characters (%41 → 'A'; hex
+    * values 41-5A, 61-7A, 30-39, 2D '-', 2E '.', 5F '_', 7E '~') and
+    * uppercase the hex digits of every other valid escape (%2f → %2F).
+    * Malformed escapes ('%zz', a trailing '%') pass through verbatim —
+    * normalizing only what is well-formed keeps the step idempotent and
+    * total. Decoding an unreserved byte can never mint a URI delimiter
+    * (the unreserved set contains none), so running this BEFORE the
+    * syntactic decomposition in url_normalize is sound. */
+  private[graft] def pct_normalize(u: Column): Column = {
+    import org.apache.spark.sql.functions._
+    // split on '%': parts(0) precedes the first escape; every later part
+    // STARTS with the two chars that followed a '%'
+    val parts = split(u, "%", -1)
+    val rest = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      seg => {
+        val hx = upper(substring(seg, 1, 2))
+        // on 2-char uppercase hex, string order == numeric order
+        val unreserved = hx.between("41", "5A") || hx.between("61", "7A") ||
+          hx.between("30", "39") || hx.isin("2D", "2E", "5F", "7E")
+        val tail = substring(seg, 3, Int.MaxValue)
+        when(!hx.rlike("^[0-9A-F]{2}$"), concat(lit("%"), seg))
+          .when(unreserved, concat(decode(unhex(hx), "UTF-8"), tail))
+          .otherwise(concat(lit("%"), hx, tail))
+      })
+    concat(element_at(parts, 1), array_join(rest, ""))
+  }
+
   /** RFC 3986 §6 syntax-based URL canonicalization for Common-Crawl-style
     * ingest, as a pure composition of codegen'd built-ins (no UDF): the
     * pipeline keys document identity on xxhash64(url), so trivially-variant
     * URLs of one page (case-shifted scheme/host, default ports, fragments,
-    * tracking parameters, unordered query strings) would otherwise mint
-    * distinct doc_ids and silently duplicate the page past exact dedup.
+    * tracking parameters, unordered query strings, unreserved %-escapes)
+    * would otherwise mint distinct doc_ids and silently duplicate the page
+    * past exact dedup.
     *
-    * Steps: drop the fragment; lowercase scheme + host; strip the host's
-    * trailing dot; drop a default port (http:80, https:443 — ONLY exact
-    * textual matches: ':0080' is out of normalization scope); empty path →
-    * '/'; drop `utm_*`/`gclid`/`fbclid`/`msclkid` query parameters; sort
-    * the remaining parameters byte-lexicographically (duplicates kept,
-    * order within duplicates normalized by the sort's stability on value);
-    * drop an emptied query. Percent-encoding and dot-segment normalization
-    * are intentionally out of scope (they need a decoder, not syntax).
-    * Returns NULL for inputs without a `scheme://` prefix — malformed rows
-    * degrade, they don't kill the job (same contract as vec_cosine). */
+    * Steps: normalize percent-encoding (pct_normalize — §6.2.2.2); drop the
+    * fragment; lowercase scheme + host (the HOST only: userinfo is
+    * case-sensitive per §6.2.2.1 and passes through verbatim, split from
+    * the host at the authority's last '@'); strip the host's trailing dot;
+    * drop a default port (http:80, https:443 — ONLY exact textual matches:
+    * ':0080' is out of normalization scope); empty path → '/'; drop
+    * `utm_*`/`gclid`/`fbclid`/`msclkid` query parameters; sort the
+    * remaining parameters byte-lexicographically (duplicates kept, order
+    * within duplicates normalized by the sort's stability on value); drop
+    * an emptied query. Dot-segment normalization is intentionally out of
+    * scope. Returns NULL for inputs without a `scheme://` prefix —
+    * malformed rows degrade, they don't kill the job (same contract as
+    * vec_cosine). */
   def url_normalize(url: Column): Column = {
     import org.apache.spark.sql.functions._
-    val pre = regexp_extract(url, "^[^#]*", 0)
+    val pre = regexp_extract(pct_normalize(url), "^[^#]*", 0)
     val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = lower(regexp_extract(pre, "^[^:/?#]+://([^/?#]*)", 1))
-    val port = regexp_extract(auth, ":([0-9]+)$", 1)
-    val host = regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "\\.$", "")
+    val auth = regexp_extract(pre, "^[^:/?#]+://([^/?#]*)", 1)
+    // userinfo (through the LAST '@', greedy) keeps its case; only the
+    // host:port remainder is lowercased and port/dot-stripped
+    val userinfo = regexp_extract(auth, "^(.*@)", 1)
+    val hostport = lower(regexp_replace(auth, "^.*@", ""))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host =
+      regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "\\.$", "")
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -108,7 +146,7 @@ package object functions {
         !p.rlike("^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"))
     val qs = array_join(array_sort(params), "&")
     when(scheme === "", lit(null).cast("string")).otherwise(concat(
-      scheme, lit("://"), host,
+      scheme, lit("://"), userinfo, host,
       when(keepPort, concat(lit(":"), port)).otherwise(""),
       path,
       when(qs =!= "", concat(lit("?"), qs)).otherwise("")))

@@ -23,8 +23,11 @@ object AnnIndex {
     * already committed with this (nCells, iters) fingerprint. */
   def buildOrOpenCentroids(spark: SparkSession, root: String,
       embeddings: => DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame =
+    // the fingerprint names the init scheme: a persisted selection-init
+    // (pre-r6) quantizer must invalidate, not silently serve, once the
+    // sampled init landed
     new StageStore(spark, root).runStage(CentroidsStage,
-      s"nCells=$nCells|iters=$iters|r6mean") {
+      s"nCells=$nCells|iters=$iters|r6mean|init=sample42") {
       TrainingOps.lloydCentroids(embeddings, nCells, iters)
     }
 

@@ -18,13 +18,15 @@ class UrlNormalizePropSpec extends AnyFunSuite {
 
   private val TrackRe = "^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)".r
 
-  private case class Parts(scheme: String, host: String, port: Int,
-      trailDot: Boolean, path: String, params: Seq[String], frag: Option[String]) {
+  private case class Parts(scheme: String, userinfo: Option[String],
+      host: String, port: Int, trailDot: Boolean, path: String,
+      params: Seq[String], frag: Option[String]) {
     def render: String = {
       val hp = host + (if (trailDot) "." else "") +
         (if (port >= 0) s":$port" else "")
       val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
-      scheme + "://" + hp + path + q + frag.map("#" + _).getOrElse("")
+      scheme + "://" + userinfo.map(_ + "@").getOrElse("") + hp + path + q +
+        frag.map("#" + _).getOrElse("")
     }
   }
 
@@ -49,6 +51,12 @@ class UrlNormalizePropSpec extends AnyFunSuite {
   private val genParts: Gen[Parts] = for {
     scheme0 <- Gen.oneOf("http", "https")
     scheme <- mixCase(scheme0, 2)
+    // userinfo is case-sensitive (RFC 3986 §6.2.2.1): generate mixed case
+    // and assert it survives verbatim while the host lowercases
+    userinfo <- Gen.option(for {
+      u <- word.flatMap(mixCase(_, 2))
+      pw <- Gen.option(word)
+    } yield pw.fold(u)(u + ":" + _))
     hostLabels <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
     host <- mixCase(hostLabels.mkString("."), 3)
     port <- Gen.oneOf(-1, -1, 80, 443, 8080, 65535)
@@ -57,7 +65,7 @@ class UrlNormalizePropSpec extends AnyFunSuite {
     path = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
     params <- Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, genParam))
     frag <- Gen.option(word)
-  } yield Parts(scheme, host, port, trailDot, path, params, frag)
+  } yield Parts(scheme, userinfo, host, port, trailDot, path, params, frag)
 
   private def normalize(urls: Seq[String]): Seq[String] = {
     val out = urls.toDF("url").select(url_normalize($"url")).collect()
@@ -75,6 +83,9 @@ class UrlNormalizePropSpec extends AnyFunSuite {
       // scheme + host: lowercase of the input's, trailing dot stripped
       assert(uri.getScheme == p.scheme.toLowerCase, p.render)
       assert(uri.getHost == p.host.toLowerCase, s"${p.render} -> $norm")
+      // userinfo verbatim (case preserved), host lowercased around it
+      assert(Option(uri.getRawUserInfo) == p.userinfo,
+        s"${p.render} -> $norm")
       // fragment always dropped
       assert(uri.getFragment == null, norm)
       // default ports dropped, others kept (URI reports -1 for absent)
@@ -93,6 +104,25 @@ class UrlNormalizePropSpec extends AnyFunSuite {
         .getOrElse(Seq.empty)
       assert(gotQ == kept, s"${p.render} -> $norm")
     }
+  }
+
+  test("percent-encoding normalization goldens (RFC 3986 §6.2.2.2)") {
+    val cases = Seq(
+      // unreserved escapes decode; reserved escapes uppercase their hex
+      "http://h/%7ea%2f%4B" -> "http://h/~a%2FK",
+      // %25 is '%' itself - reserved, must NOT decode (idempotence)
+      "http://h/a%25b" -> "http://h/a%25b",
+      // malformed escapes pass through verbatim, including a trailing '%'
+      "http://h/%zz%4" -> "http://h/%zz%4",
+      "http://h/x%" -> "http://h/x%",
+      // escapes normalize in query params too, before the sort
+      "http://h/p?b=%41&a=%2f" -> "http://h/p?a=%2F&b=A",
+      // and in the host (decoded unreserved rejoins the lowercased host)
+      "http://EX%41MPLE.com/" -> "http://example.com/")
+    val got = normalize(cases.map(_._1))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+    // idempotent on every golden
+    assert(normalize(got) == got)
   }
 
   test("idempotence over generated URLs") {

@@ -181,13 +181,21 @@ class AnnIvfSpec extends AnyFunSuite {
       .groupBy("vec_id").agg(max("ccos").as("m"))
       .agg(sum("m")).collect()(0).getDouble(0)
 
-  test("refined centroids: objective and recall >= selection quantizer") {
-    val sel = graft.ops.TrainingOps.lloydCentroids(e, nClusters, iters = 0)
+  test("refined centroids: objective/recall >= unrefined; sampled init >= selection init") {
+    // default = sampled init (TrainingOps.sampleInit), unrefined vs refined
+    val unref = graft.ops.TrainingOps.lloydCentroids(e, nClusters, iters = 0)
     val ref = graft.ops.TrainingOps.lloydCentroids(e, nClusters, iters = 2)
-    assert(objective(ref) >= objective(sel) - 1e-6)
-    val (rSel, rRef) = (recall(sel), recall(ref))
-    assert(rRef >= rSel, s"refined $rRef < selection $rSel")
+    assert(objective(ref) >= objective(unref) - 1e-6)
+    val (rUnref, rRef) = (recall(unref), recall(ref))
+    assert(rRef >= rUnref, s"refined $rRef < unrefined $rUnref")
     assert(rRef >= 0.9, s"refined recall $rRef")
+    // the old first-nCells selection init under the SAME refinement: the
+    // sampled init must not regress it (r5 VERDICT next #6 criterion)
+    val sel0 = e.where(col("vec_id") < nClusters)
+      .select(col("vec_id").as("cell"),
+        col("embedding").cast("array<double>").as("cvec"))
+    val rSelRef = recall(graft.ops.TrainingOps.lloydRefine(e, sel0, 2))
+    assert(rRef >= rSelRef, s"sampled-init $rRef < selection-init $rSelRef")
   }
 
   test("persisted quantizer: build commits, reopen never re-clusters") {
