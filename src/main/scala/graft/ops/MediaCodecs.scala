@@ -258,28 +258,132 @@ object MediaCodecs {
       // and re-parse the container on every row of the corpus. reader
       // selection matches ImageIO.read (first registered reader), and
       // read(0) is the same first-frame decode it performs.
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val img =
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, "dhashImage: undecodable image bytes")
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
-            require(w > 0 && h > 0 && w * h <= MaxImagePixels,
-              s"dhashImage: declared dimensions ${w}x$h exceed the " +
-                s"$MaxImagePixels-pixel decode bound")
-            reader.read(0)
-          } finally reader.dispose()
-        } finally iis.close()
-      require(img != null, "dhashImage: undecodable image bytes")
-      def luma(x: Int, y: Int): Double = {
-        val rgb = img.getRGB(x, y)
-        0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-          0.299 * ((rgb >> 16) & 0xff)
-      }
-      dhashGrid(luma, img.getWidth, img.getHeight)
+      withReader(bytes) { (reader, _) => dhashBuffered(boundedRead(reader, 0)) }
     }
+
+  /** Frame-count bound for multi-frame containers: an animated GIF can
+    * DECLARE an absurd frame count the same way a PNG declares absurd
+    * dimensions; per-frame pixel bounds alone would still decode millions
+    * of tiny frames. Over-bound blobs are undecodable rows (quarantine),
+    * not job killers. 4096 frames ≈ 2.5 min of 30 fps animation — beyond
+    * any real web GIF. */
+  val MaxVideoFrames = 4096
+
+  /** Per-frame perceptual dHashes of a MULTI-FRAME container (animated GIF
+    * via the JDK's ImageIO codec — the same bounded reader seam as
+    * dhashImage, one parse per blob), as (frame_index, dhash) pairs in
+    * frame order. `sampleN > 0` decodes only that many evenly spaced frames
+    * (video-style frame sampling: index f maps to source frame
+    * floor(n*f/sampleN)); `sampleN <= 0` decodes every frame. Single-frame
+    * images (and uncompressed BMPs via the byte decoder) come back as one
+    * frame 0 — stills are length-1 videos, so the frame machinery subsumes
+    * dhashImage. Every frame decode enforces the same MaxImagePixels bound;
+    * the declared frame COUNT is bounded by MaxVideoFrames before any
+    * pixel work. */
+  def frameDHashes(bytes: Array[Byte], sampleN: Int = 0): Array[(Int, Long)] =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      Array((0, dhash(bytes)))
+    else withReader(bytes) { (reader, _) =>
+      // allowSearch: the stream is an in-memory byte array, so the exact
+      // count is a cheap scan (no seekForwardOnly stream to exhaust)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "frameDHashes: container declares no frames")
+      require(n <= MaxVideoFrames,
+        s"frameDHashes: declared frame count $n exceeds the " +
+          s"$MaxVideoFrames-frame decode bound")
+      val indices =
+        if (sampleN <= 0 || sampleN >= n) 0 until n
+        else (0 until sampleN).map(f => ((n.toLong * f) / sampleN).toInt)
+      indices.map(i => (i, dhashBuffered(boundedRead(reader, i)))).toArray
+    }
+
+  /** Shared ImageIO reader lifecycle: one in-memory stream, the first
+    * registered reader (ImageIO.read's own selection), guaranteed
+    * dispose/close. */
+  private def withReader[T](bytes: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => T): T = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image bytes")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis) // seekForwardOnly=false: getNumImages may scan
+        f(reader, 0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Decode frame `i` with the decompression-bomb dimension bound applied
+    * BEFORE any pixel allocation (see MaxImagePixels). */
+  private def boundedRead(reader: javax.imageio.ImageReader,
+      i: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (reader.getWidth(i).toLong, reader.getHeight(i).toLong)
+    require(w > 0 && h > 0 && w * h <= MaxImagePixels,
+      s"declared dimensions ${w}x$h exceed the $MaxImagePixels-pixel " +
+        "decode bound")
+    val img = reader.read(i)
+    require(img != null, "undecodable image bytes")
+    img
+  }
+
+  private def dhashBuffered(img: java.awt.image.BufferedImage): Long = {
+    def luma(x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      0.114 * (rgb & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.299 * ((rgb >> 16) & 0xff)
+    }
+    dhashGrid(luma, img.getWidth, img.getHeight)
+  }
+
+  /** Deterministic animated GIF from explicit RGB frames — the multi-frame
+    * fixture generator (the JDK ships a GIF ImageWriter; its sequence API
+    * is the documented multi-frame path). GIF quantizes to a palette, but
+    * both sides of every test read the bytes back through ImageIO, so the
+    * palette round-trip is shared. */
+  def synthGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "synthGif: at least one frame")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img => writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** One deterministic synthetic frame: blocky RGB derived from (seed,
+    * frameIdx) via the corpus mix — adjacent frameIdx values differ in few
+    * blocks, so consecutive frames of one seed are near-duplicates under
+    * dHash while different seeds are not. */
+  def synthFrame(seed: Long, frameIdx: Int, w: Int = 32,
+      h: Int = 32): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // 4x4 blocks keyed on the SEED only, with a single frame-keyed
+        // block: frames within one gif share 63/64 blocks (near-dup),
+        // different seeds share none
+        val bx = x / 4; val by = y / 4
+        val hotBlock = (graft.corpus.SyntheticCorpus.mix2(seed,
+          frameIdx.toLong) & 0x3f).toInt
+        val key =
+          if (by * (w / 4) + bx == hotBlock)
+            graft.corpus.SyntheticCorpus.mix2(seed * 31 + frameIdx, (bx * 97 + by).toLong)
+          else graft.corpus.SyntheticCorpus.mix2(seed, (bx * 97 + by).toLong)
+        img.setRGB(x, y, (key & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
 }

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
  *    feed the same Hamming-ball dedup machinery as text SimHash. Verified
  *    in MultimodalSpec against the JDK's own independent decoders
  *    (javax.sound.sampled, javax.imageio).
- *  - STUB kernels for formats that need native codecs (JPEG/H.264/...):
+ *  - REAL still/animated decode through the JDK's ImageIO codecs
+ *    (JPEG/PNG/GIF): per-image dHash (imageDHash) and per-FRAME dHash over
+ *    multi-frame containers (videoFrameHashes / frameSample /
+ *    frameNearDupPairs — animated GIF is the real multi-frame path), all
+ *    behind the same decompression-bomb bounds (MediaCodecs).
+ *  - STUB kernels for formats that need native codecs (H.264/AV1/...):
  *    clearly-marked deterministic stand-ins (StubCodec) behind real
  *    schema/binary/per-partition-decoder plumbing; swapping in a JNI/FFI
  *    codec is a drop-in change.
@@ -258,21 +263,103 @@ object MultimodalOps {
     graft.dedup.DedupPipeline.simhashCandidates(imageDHash(df), cfg)
   }
 
-  /** Video-style frame sampling plumbing: emit n evenly spaced "frames"
-    * (offset + content hash) per blob. */
+  /** Attach a deterministic synthetic animated GIF per row (multi-frame
+    * video stand-in that is REAL bytes through a real container format):
+    * `nFrames` frames whose content derives from doc_id — consecutive
+    * frames of one doc are near-duplicates under dHash, frames of
+    * different docs are not (MediaCodecs.synthFrame). */
+  def withSynthGif(df: DataFrame, nFrames: Int = 6): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      MediaCodecs.synthGif(
+        (0 until nFrames).map(f => MediaCodecs.synthFrame(docId, f)))
+    }
+    df.withColumn("media", gen(col("doc_id")))
+  }
+
+  /** REAL multi-frame decode: (doc_id, frame_idx, simhash) with one 64-bit
+    * perceptual dHash per container frame (animated GIF through the bounded
+    * ImageIO reader — MediaCodecs.frameDHashes; a still image is a length-1
+    * video). The hash column is named `simhash` because it IS one: the
+    * frame rows feed the same pigeonhole-block Hamming machinery as text
+    * SimHash and image dHash. Undecodable blobs drop (quarantine:
+    * `undecodableVideo`). */
+  def videoFrameHashes(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        try MediaCodecs.frameDHashes(bytes).iterator
+          .map { case (i, h) => (id, i, h) }
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      })
+      .toDF("doc_id", "frame_idx", "simhash")
+  }
+
+  /** Quarantine view for the multi-frame decode path: exactly the rows
+    * videoFrameHashes/frameSample drop to their real-decode failure. */
+  def undecodableVideo(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions(failures(_)(MediaCodecs.frameDHashes(_)))
+      .toDF("doc_id", "err")
+  }
+
+  /** Frame-level near-duplicate pairs across videos: per-frame dHashes →
+    * the SAME pigeonhole-block + Hamming-verify machinery as text SimHash,
+    * keyed by a 64-bit (doc_id, frame_idx) composite hash and decoded back
+    * by equi-join. Output (doc_a, frame_a, doc_b, frame_b) — cross-doc AND
+    * intra-doc near-dup frames (a video's own still sections) both
+    * surface; filter `doc_a <> doc_b` for cross-video evidence only. */
+  def frameNearDupPairs(df: DataFrame, maxHamming: Int = 3,
+      mediaCol: String = "media"): DataFrame = {
+    val hashes = videoFrameHashes(df, mediaCol)
+      .withColumn("fid", xxhash64(col("doc_id"), col("frame_idx")))
+    val cfg = graft.dedup.DedupConfig(runMinhash = false, runWinnow = false,
+      simhashMaxHamming = maxHamming)
+    val pairs = graft.dedup.DedupPipeline.simhashCandidates(
+      hashes.select(col("fid").as("doc_id"), col("simhash")), cfg)
+    pairs
+      .join(hashes.select(col("fid").as("src"), col("doc_id").as("doc_a"),
+        col("frame_idx").as("frame_a")), "src")
+      .join(hashes.select(col("fid").as("dst"), col("doc_id").as("doc_b"),
+        col("frame_idx").as("frame_b")), "dst")
+      .select("doc_a", "frame_a", "doc_b", "frame_b")
+  }
+
+  /** Video-style frame sampling: n evenly spaced frames per blob. For
+    * ImageIO-decodable containers (animated GIF, any still format) this is
+    * a REAL decode — `offset` is the sampled source frame index and
+    * `frame_hash` its perceptual dHash (MediaCodecs.frameDHashes, decoding
+    * ONLY the sampled frames). Blobs no ImageIO codec accepts (e.g. the
+    * GIMG stub format above) keep the previous deterministic byte-offset
+    * sampling so stub plumbing stays testable; real garbage rows drop
+    * (quarantine: `undecodableVideo` lists real-decode failures). */
   def frameSample(df: DataFrame, n: Int = 4): Dataset[Frame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val body = bytes.length - 13
-        // header-only blobs have no frames to sample
-        if (body <= 0) Nil
-        else (0 until n).map { f =>
-          val off = 13L + (body.toLong * f) / n
-          Frame(id, f, off,
-            graft.corpus.SyntheticCorpus.mix2(id, bytes(off.toInt).toLong))
+        val real =
+          try Some(MediaCodecs.frameDHashes(bytes, sampleN = n))
+          catch { case scala.util.control.NonFatal(_) => None }
+        real match {
+          case Some(fs) =>
+            fs.iterator.zipWithIndex.map { case ((src, h), f) =>
+              Frame(id, f, src.toLong, h)
+            }.toSeq
+          case None if bytes.length >= 4 && bytes(0) == 'G' &&
+              bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G' =>
+            // stub-format fallback: deterministic byte-offset sampling
+            val body = bytes.length - 13
+            if (body <= 0) Nil
+            else (0 until n).map { f =>
+              val off = 13L + (body.toLong * f) / n
+              Frame(id, f, off,
+                graft.corpus.SyntheticCorpus.mix2(id, bytes(off.toInt).toLong))
+            }
+          case None => Nil // real undecodable row: degrade, don't die
         }
       }
   }

@@ -393,6 +393,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.dhashImage(asPng) == MediaCodecs.dhash(bmp))
   }
 
+  test("animated GIF: real per-frame decode, planted near-dup frames found") {
+    val gifs = MultimodalOps.withSynthGif(
+      TrainingOps.documents(spark, dir).select("doc_id").limit(8),
+      nFrames = 6).cache()
+    val hashes = MultimodalOps.videoFrameHashes(gifs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(hashes.size == 8 * 6)
+    // cross-path consistency: frame 0 == the single-image dHash of the blob
+    val raw = gifs.select("doc_id", "media").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    raw.foreach { case (id, bytes) =>
+      assert(MediaCodecs.dhashImage(bytes) == hashes((id, 0)))
+    }
+    // independent decode oracle: re-encode every GIF frame as PNG (the JDK's
+    // ImageIO GIF reader + PNG writer — a different container path) and the
+    // dHash of the PNG must equal the frame hash
+    raw.take(3).foreach { case (id, bytes) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      assert(n == 6, s"doc $id frame count $n")
+      (0 until n).foreach { i =>
+        val img = reader.read(i)
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, "png", bos))
+        assert(MediaCodecs.dhashImage(bos.toByteArray) == hashes((id, i)),
+          s"doc $id frame $i")
+      }
+      reader.dispose(); iis.close()
+    }
+    // frame-level near-dup: the machinery's output must EQUAL brute force
+    // over all frames (pigeonhole candidates are complete for d <= max)
+    val maxHamming = 8
+    val ids = hashes.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids
+      if a != b && java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= maxHamming
+    } yield (a, b)).map { case (x, y) => if (x.toString < y.toString) (x, y) else (y, x) }
+      .toSet
+    val got = MultimodalOps.frameNearDupPairs(gifs, maxHamming).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getInt(3))))
+      .map { case (x, y) => if (x.toString < y.toString) (x, y) else (y, x) }
+      .toSet
+    assert(got == expected,
+      s"got ${got.size} expected ${expected.size}; " +
+        s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // the fixture really plants near-dup frame sequences (non-vacuous), and
+    // only within a doc — cross-doc frames are far apart
+    assert(expected.nonEmpty, "fixture planted no near-dup frames")
+    assert(expected.forall { case ((da, _), (db, _)) => da == db },
+      "cross-doc frames must not be near-dups")
+    gifs.unpersist()
+  }
+
+  test("undecodable video blobs land in the quarantine view, not the job") {
+    import spark.implicits._
+    val gifBytes = MediaCodecs.synthGif(Seq(MediaCodecs.synthFrame(7L, 0)))
+    val rows = Seq(
+      (1L, gifBytes),
+      (2L, gifBytes.take(20)), // truncated container
+      (3L, Array[Byte](1, 2, 3))) // garbage
+    val df = rows.toDF("doc_id", "media")
+    val ok = MultimodalOps.videoFrameHashes(df).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ok == Set(1L))
+    val bad = MultimodalOps.undecodableVideo(df).select("doc_id")
+      .as[Long].collect().toSet
+    assert(bad == Set(2L, 3L))
+  }
+
+  test("frameSample reads real frames from ImageIO containers") {
+    val gifs = MultimodalOps.withSynthGif(
+      TrainingOps.documents(spark, dir).select("doc_id").limit(5),
+      nFrames = 8)
+    val fr = MultimodalOps.frameSample(gifs, n = 4).collect()
+    assert(fr.length == 5 * 4)
+    val all = MultimodalOps.videoFrameHashes(gifs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    fr.foreach { f =>
+      // offset = the sampled SOURCE frame index (n*f/sampleN), hash = that
+      // frame's real dHash
+      assert(f.offset == (8L * f.frame_idx) / 4, f.toString)
+      assert(f.frame_hash == all((f.doc_id, f.offset.toInt)), f.toString)
+    }
+  }
+
   test("frameSample emits n frames per blob with increasing offsets") {
     val fr = MultimodalOps.frameSample(media, n = 4).collect()
     assert(fr.length == 50 * 4)
