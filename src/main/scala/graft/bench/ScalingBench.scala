@@ -48,6 +48,10 @@ object ScalingBench {
         .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      // by-design checkpoint releases log WARN from the rdd package; keep
+      // the tail readable for unexpected warnings (see Bench.newSession)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
       s
     }
 
