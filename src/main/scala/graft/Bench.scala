@@ -244,14 +244,22 @@ object Bench {
         t
       } finally s.stop()
     }
-    val dedupSeries = {
-      dedupLeg(cpus) // untimed warmup leg (JIT/codegen state is JVM-wide)
-      val (raws, ts) = (1 to runs).map { _ =>
-        val at = System.currentTimeMillis()
-        (dedupLeg(cpus), at)
-      }.unzip
-      RunSeries("dedup_pipeline", raws, ts, corpusDocs)
-    }
+    val dedupSeries =
+      try {
+        dedupLeg(cpus) // untimed warmup leg (JIT/codegen state is JVM-wide)
+        val (raws, ts) = (1 to runs).map { _ =>
+          val at = System.currentTimeMillis()
+          (dedupLeg(cpus), at)
+        }.unzip
+        RunSeries("dedup_pipeline", raws, ts, corpusDocs)
+      } catch { case e: Throwable =>
+        // the artifact must still emit (with -1 here) when the headline
+        // dies — a bench that crashes artifact-less is unadjudicable
+        System.err.println(s"[bench] dedup_pipeline failed: $e")
+        e.printStackTrace()
+        RunSeries("dedup_pipeline", Seq(-1.0),
+          Seq(System.currentTimeMillis()), -1L)
+      }
     val kernelMid = KernelControl.dps(kThreads)
     val bwMid = HostControls.bandwidthGBps(kThreads)
 

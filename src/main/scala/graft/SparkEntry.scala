@@ -11,10 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exact over-cap star model + its block-stats observability, n-gram
   * Jaccard, winnowing star edges + anchor-extended span evidence),
   * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
-  * (html extraction, lang-id, quality, token counts, fingerprints), and
-  * event windowing/sessionization — 31 queries, each with a DuckDB oracle.
-  * Every query has a DuckDB oracle in `oracleSql` with matching column
-  * names. Queries whose math is directly SQL-expressible are recomputed from
+  * (html extraction, lang-id, quality, token counts, fingerprints), event
+  * windowing/sessionization, and multimodal frame decode — 32 queries: 31
+  * with a DuckDB oracle in `oracleSql` (matching column names), plus
+  * q_video_frames as the documented rows-only case (ImageIO decode is not
+  * SQL-expressible; its math is pinned by MultimodalSpec's JDK
+  * independent-decode oracles instead).
+  * Queries whose math is directly SQL-expressible are recomputed from
   * the input tables; the signature-based ones (minhash/simhash/winnow/ann/
   * nxs-postings/fingerprints) are verified from dumped signature primitives
   * (see Verify.writeOracleDumps) with all downstream logic — pair
@@ -68,7 +71,17 @@ object SparkEntry {
     "q_nation_revenue" -> ((s, d) => RelationalOps.nationRevenue(s, d)),
     // events
     "q_events_hourly" -> ((s, d) => TrainingOps.eventsHourly(s, d)),
-    "q_events_sessions" -> ((s, d) => TrainingOps.eventsSessions(s, d)))
+    "q_events_sessions" -> ((s, d) => TrainingOps.eventsSessions(s, d)),
+    // multimodal — ROWS-ONLY by design (no oracleSql entry): the per-frame
+    // dHash runs through the JDK's ImageIO GIF codec, which no SQL engine
+    // re-derives; its math is pinned instead by MultimodalSpec's
+    // independent-decode oracles (GIF→PNG re-encode path, brute-force
+    // Hamming equality for the pair machinery). The query itself is fully
+    // deterministic: synthesized animated GIFs over the first 40 doc_ids.
+    "q_video_frames" -> ((s, d) => graft.ops.MultimodalOps.videoFrameHashes(
+      graft.ops.MultimodalOps.withSynthGif(
+        TrainingOps.documents(s, d).select("doc_id")
+          .orderBy("doc_id").limit(40), nFrames = 5))))
 
   private val POSTINGS =
     """SELECT doc_id, term, count(*) AS cnt
