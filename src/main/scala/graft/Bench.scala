@@ -135,10 +135,14 @@ object Bench {
       raws.size >= 2 && raws.forall(_ > 0) && raws.max / raws.min > 2.0
     def json: String =
       s""""$name":{"runs":[${raws.map(r => f"$r%.3f").mkString(",")}],""" +
-        s""""ts_ms":[${ts.mkString(",")}],"storm_suspect":$stormSuspect}"""
+        s""""ts_ms":[${ts.mkString(",")}],"rows":$rows,""" +
+        s""""storm_suspect":$stormSuspect}"""
   }
 
   def main(args: Array[String]): Unit = {
+    // f"" interpolators format via the DEFAULT locale; a comma-decimal
+    // locale would render "12,345" into the machine-read JSON artifact
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -232,26 +236,27 @@ object Bench {
     val kernelPre = KernelControl.dps(kThreads)
     val bwPre = HostControls.bandwidthGBps(kThreads)
 
-    def dedupLeg(cores: Int): Double = {
+    def dedupLeg(cores: Int): (Double, Long) = {
       val s = newSession(cores)
       try {
         val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
-        DedupPipeline.clusters(s.read.parquet(corpusPath), DedupConfig())
-          .count()
+        val rows = DedupPipeline
+          .clusters(s.read.parquet(corpusPath), DedupConfig()).count()
         val t = (System.nanoTime() - t0) / 1e9
         scopedClear(s, pre)
-        t
+        (t, rows)
       } finally s.stop()
     }
     val dedupSeries =
       try {
         dedupLeg(cpus) // untimed warmup leg (JIT/codegen state is JVM-wide)
-        val (raws, ts) = (1 to runs).map { _ =>
+        val legs = (1 to runs).map { _ =>
           val at = System.currentTimeMillis()
           (dedupLeg(cpus), at)
-        }.unzip
-        RunSeries("dedup_pipeline", raws, ts, corpusDocs)
+        }
+        RunSeries("dedup_pipeline", legs.map(_._1._1), legs.map(_._2),
+          legs.head._1._2)
       } catch { case e: Throwable =>
         // the artifact must still emit (with -1 here) when the headline
         // dies — a bench that crashes artifact-less is unadjudicable
@@ -422,7 +427,7 @@ object Bench {
       // over the surviving pairs + a paired_consistent flag (false when any
       // pair was discarded — read the ≥5-pair ScalingBench run instead).
       val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
-      val pairs = (1 to nPairs).map { _ => (dedupLeg(8), dedupLeg(cpus)) }
+      val pairs = (1 to nPairs).map { _ => (dedupLeg(8)._1, dedupLeg(cpus)._1) }
       val valid = pairs.filter { case (t8, tHi) => t8 >= tHi }
       val effs = valid.map { case (t8, tHi) => (t8 / tHi) / (cpus / 8.0) }.sorted
       // True median: for even survivor counts average the two middles —

@@ -19,10 +19,7 @@ package graft.bench
  */
 object HostControls {
 
-  // 1 GiB reused across calls: allocation/first-touch happens once (the
-  // first call's warmup pass), not inside any measured window.
   private val BufLongs = (1L << 30).toInt / 8
-  private lazy val buf = new Array[Long](BufLongs)
 
   // Sink for the read pass so the loop cannot be dead-code-eliminated.
   @volatile private var blackhole: Long = 0L
@@ -32,8 +29,15 @@ object HostControls {
     * pass per repetition. Bytes counted = 16 per element per rep (8 written
     * + 8 read); real traffic is higher (write-allocate reads the line
     * first), so the number is a LOWER bound — fine for a control whose job
-    * is comparing one artifact's windows against each other. */
+    * is comparing one artifact's windows against each other.
+    *
+    * The 1 GiB buffer is allocated PER CALL and released on return: a
+    * resident control buffer would shrink the heap every timed Spark run
+    * executes in — the control must not contaminate the measurement it
+    * validates. Allocation + first-touch happen in the untimed warmup
+    * pass. */
   def bandwidthGBps(nThreads: Int, reps: Int = 2): Double = {
+    val buf = new Array[Long](BufLongs)
     def pass(reps: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
       val chunk = BufLongs / nThreads

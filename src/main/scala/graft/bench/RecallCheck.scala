@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
  */
 object RecallCheck {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // machine-read JSON
     val nClusters = args.headOption.map(_.toInt).getOrElse(50000)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -26,6 +26,7 @@ import java.nio.file.{Files, Paths}
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // machine-read JSON
     val nClusters = args.headOption.map(_.toInt).getOrElse(400000)
     val rounds = args.lift(1).map(_.toInt).getOrElse(3)
     val corpusPath = s"/tmp/graft_scale_corpus/c$nClusters"

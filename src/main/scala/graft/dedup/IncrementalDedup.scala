@@ -92,7 +92,14 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     s"w=$shingleW|k=$minhashK|b=$bands|r=$rowsPerBand|tau=$tau|d=$simhashMaxHamming|" +
       s"wa=$winnowA|ww=$winnowWindow|seed=$seed|cap=$smallCap|" +
       s"mh=$runMinhash|sh=$runSimhash|wn=$runWinnow|bp=$bucketParts|" +
-      s"un=$normalizeUrls" // url canonicalization = doc identity (see DedupConfig)
+      // url canonicalization = doc identity (see DedupConfig) — and the
+      // NORMALIZATION ALGORITHM's version is part of that identity, not
+      // just the boolean: r6 added pct-decoding + userinfo case retention,
+      // so a store whose sigs were keyed under the r5 rules must fail the
+      // pin loudly (old 'un=true') instead of silently minting different
+      // doc_ids for pages it already holds. un=false stores are untouched
+      // by the algorithm and keep their fingerprint.
+      s"un=${if (normalizeUrls) "v2" else "false"}"
   }
 
   private def batchesPath = Paths.get(root, "BATCHES")

@@ -269,17 +269,43 @@ object MediaCodecs {
     * any real web GIF. */
   val MaxVideoFrames = 4096
 
-  /** Per-frame perceptual dHashes of a MULTI-FRAME container (animated GIF
-    * via the JDK's ImageIO codec — the same bounded reader seam as
-    * dhashImage, one parse per blob), as (frame_index, dhash) pairs in
-    * frame order. `sampleN > 0` decodes only that many evenly spaced frames
-    * (video-style frame sampling: index f maps to source frame
-    * floor(n*f/sampleN)); `sampleN <= 0` decodes every frame. Single-frame
-    * images (and uncompressed BMPs via the byte decoder) come back as one
-    * frame 0 — stills are length-1 videos, so the frame machinery subsumes
-    * dhashImage. Every frame decode enforces the same MaxImagePixels bound;
-    * the declared frame COUNT is bounded by MaxVideoFrames before any
-    * pixel work. */
+  /** AGGREGATE pixel budget across every frame a single blob decodes: the
+    * per-frame and frame-count bounds multiply otherwise (4096 frames ×
+    * 64 Mpx each passes both and decodes ~1 TB of pixels from one row).
+    * 256 Mpx ≈ 1 GB of ARGB total per blob — generous for any real
+    * animation, fatal for none. Checked CUMULATIVELY before each frame
+    * decode, from declared dimensions, before any pixel allocation. */
+  val MaxVideoTotalPixels = 256L << 20
+
+  /** Per-frame perceptual dHashes of a MULTI-FRAME container, as
+    * (frame_index, dhash) pairs in frame order — the same bounded ImageIO
+    * reader seam as dhashImage, one parse per blob.
+    *
+    * Animated GIFs are COMPOSITED: real-world GIFs delta-encode — frame k
+    * is a small changed rectangle over the previous canvas, and
+    * `reader.read(k)` returns that partial raster, so hashing rasters
+    * directly would hash tiny patches instead of displayed frames. Each
+    * frame is drawn at its (left, top) offset onto a logical-screen canvas
+    * with the GIF disposal methods honored (doNotDispose accumulates,
+    * restoreToBackgroundColor clears the frame's rect,
+    * restoreToPrevious restores the pre-frame canvas), and the hash is of
+    * the DISPLAYED canvas. Full-canvas frame sequences (e.g. synthGif's)
+    * hash identically to their raw rasters.
+    *
+    * `sampleN > 0` returns that many evenly spaced frames (index f maps to
+    * source frame floor(n*f/sampleN); containers with fewer than sampleN
+    * frames return one entry per frame — sampling cannot invent frames);
+    * `sampleN <= 0` returns every frame. For composited GIFs, PREDECESSOR
+    * frames of a sampled frame must still decode (their pixels are part of
+    * the displayed canvas); for other formats only sampled frames decode.
+    * Single-frame images (and uncompressed BMPs via the byte decoder) come
+    * back as one frame 0 — stills are length-1 videos, so the frame
+    * machinery subsumes dhashImage.
+    *
+    * Decode-bomb bounds, all from DECLARED sizes before pixel allocation:
+    * per-frame MaxImagePixels, frame count MaxVideoFrames, and the
+    * CUMULATIVE MaxVideoTotalPixels budget (the first two multiply to ~1 TB
+    * without it). Over-budget blobs are undecodable rows (quarantine). */
   def frameDHashes(bytes: Array[Byte], sampleN: Int = 0): Array[(Int, Long)] =
     if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       Array((0, dhash(bytes)))
@@ -291,11 +317,126 @@ object MediaCodecs {
       require(n <= MaxVideoFrames,
         s"frameDHashes: declared frame count $n exceeds the " +
           s"$MaxVideoFrames-frame decode bound")
-      val indices =
-        if (sampleN <= 0 || sampleN >= n) 0 until n
+      val wanted =
+        if (sampleN <= 0 || sampleN >= n) (0 until n).toArray
         else (0 until sampleN).map(f => ((n.toLong * f) / sampleN).toInt)
-      indices.map(i => (i, dhashBuffered(boundedRead(reader, i)))).toArray
+          .distinct.toArray
+      if (n > 1 && reader.getFormatName.equalsIgnoreCase("gif"))
+        compositedGifHashes(reader, wanted)
+      else {
+        var budget = 0L
+        wanted.map { i =>
+          budget = spendPixelBudget(budget,
+            reader.getWidth(i).toLong * reader.getHeight(i))
+          (i, dhashBuffered(boundedRead(reader, i)))
+        }
+      }
     }
+
+  private def spendPixelBudget(soFar: Long, px: Long): Long = {
+    val t = soFar + px
+    require(t <= MaxVideoTotalPixels,
+      s"cumulative declared pixels $t exceed the $MaxVideoTotalPixels" +
+        "-pixel per-blob decode budget")
+    t
+  }
+
+  /** Composite an animated GIF frame by frame and hash the displayed
+    * canvas at each `wanted` index (wanted is sorted ascending; every
+    * frame up to max(wanted) decodes — compositing needs predecessors). */
+  private def compositedGifHashes(reader: javax.imageio.ImageReader,
+      wanted: Array[Int]): Array[(Int, Long)] = {
+    val wantedSet = wanted.toSet
+    val last = wanted.max
+    // logical screen from stream metadata; fall back to frame-0 dims
+    val (sw, sh) = gifScreenDims(reader)
+    require(sw > 0 && sh > 0 && sw.toLong * sh <= MaxImagePixels,
+      s"gif logical screen ${sw}x$sh exceeds the $MaxImagePixels-pixel bound")
+    var budget = spendPixelBudget(0L, sw.toLong * sh) // the canvas itself
+    var canvas = new java.awt.image.BufferedImage(
+      sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val out = Array.newBuilder[(Int, Long)]
+    var i = 0
+    while (i <= last) {
+      budget = spendPixelBudget(budget,
+        reader.getWidth(i).toLong * reader.getHeight(i))
+      val frame = boundedRead(reader, i)
+      val (x, y, disposal) = gifFrameMeta(reader, i)
+      val prev =
+        if (disposal == "restoreToPrevious") {
+          val c = new java.awt.image.BufferedImage(sw, sh,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose()
+          c
+        } else null
+      val g = canvas.createGraphics()
+      g.drawImage(frame, x, y, null)
+      g.dispose()
+      if (wantedSet(i)) out += ((i, dhashBuffered(canvas)))
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          // browsers render the disposed rect as transparent; luma reads it
+          // as black — deterministic either way, transparent matches display
+          val g2 = canvas.createGraphics()
+          g2.setComposite(java.awt.AlphaComposite.Clear)
+          g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+          g2.dispose()
+        case "restoreToPrevious" => canvas = prev
+        case _ => () // none / doNotDispose: accumulate
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def gifScreenDims(reader: javax.imageio.ImageReader): (Int, Int) =
+    try {
+      val tree = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = tree.getChildNodes
+      var w = -1; var h = -1
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        if (node.getNodeName == "LogicalScreenDescriptor") {
+          val at = node.getAttributes
+          w = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+          h = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+        }
+        k += 1
+      }
+      if (w > 0 && h > 0) (w, h)
+      else (reader.getWidth(0), reader.getHeight(0))
+    } catch { case scala.util.control.NonFatal(_) =>
+      (reader.getWidth(0), reader.getHeight(0))
+    }
+
+  /** (left, top, disposalMethod) of GIF frame `i` from its image metadata;
+    * (0, 0, "none") when absent. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+      i: Int): (Int, Int, String) =
+    try {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+      val kids = tree.getChildNodes
+      var x = 0; var y = 0; var disposal = "none"
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        node.getNodeName match {
+          case "ImageDescriptor" =>
+            val at = node.getAttributes
+            x = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+            y = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+          case "GraphicControlExtension" =>
+            val at = node.getAttributes
+            disposal = at.getNamedItem("disposalMethod").getNodeValue
+          case _ => ()
+        }
+        k += 1
+      }
+      (x, y, disposal)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
 
   /** Shared ImageIO reader lifecycle: one in-memory stream, the first
     * registered reader (ImageIO.read's own selection), guaranteed
@@ -352,6 +493,63 @@ object MediaCodecs {
       writer.prepareWriteSequence(null)
       frames.foreach(img => writer.writeToSequence(
         new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Deterministic DELTA-encoded animated GIF: each frame is (raster,
+    * left, top, disposalMethod) — the real-world GIF shape (partial
+    * rasters at offsets) that compositedGifHashes exists for. Frame 0
+    * should be full-canvas (the JDK writer derives the logical screen from
+    * the first frame). disposalMethod ∈ none | doNotDispose |
+    * restoreToBackgroundColor | restoreToPrevious. */
+  def synthGifDelta(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)])
+      : Array[Byte] = {
+    require(frames.nonEmpty, "synthGifDelta: at least one frame")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, x, y, disposal) =>
+        val itype =
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val md = writer.getDefaultImageMetadata(itype, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        def child(name: String): javax.imageio.metadata.IIOMetadataNode = {
+          val kids = tree.getChildNodes
+          var k = 0
+          while (k < kids.getLength) {
+            if (kids.item(k).getNodeName == name)
+              return kids.item(k)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            k += 1
+          }
+          val n = new javax.imageio.metadata.IIOMetadataNode(name)
+          tree.appendChild(n)
+          n
+        }
+        val desc = child("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", x.toString)
+        desc.setAttribute("imageTopPosition", y.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, md), null)
+      }
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     baos.toByteArray

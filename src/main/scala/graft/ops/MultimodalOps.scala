@@ -313,8 +313,12 @@ object MultimodalOps {
     * surface; filter `doc_a <> doc_b` for cross-video evidence only. */
   def frameNearDupPairs(df: DataFrame, maxHamming: Int = 3,
       mediaCol: String = "media"): DataFrame = {
-    val hashes = videoFrameHashes(df, mediaCol)
-      .withColumn("fid", xxhash64(col("doc_id"), col("frame_idx")))
+    // Materialized: the plan references the hash relation three times
+    // (candidate generation + two join-backs), and each reference would
+    // otherwise re-run the FULL container decode of every blob — the
+    // dominant cost at corpus scale. One decode pass, three block reads.
+    val hashes = graft.dedup.Materialize(videoFrameHashes(df, mediaCol)
+      .withColumn("fid", xxhash64(col("doc_id"), col("frame_idx"))))
     val cfg = graft.dedup.DedupConfig(runMinhash = false, runWinnow = false,
       simhashMaxHamming = maxHamming)
     val pairs = graft.dedup.DedupPipeline.simhashCandidates(
@@ -327,14 +331,19 @@ object MultimodalOps {
       .select("doc_a", "frame_a", "doc_b", "frame_b")
   }
 
-  /** Video-style frame sampling: n evenly spaced frames per blob. For
-    * ImageIO-decodable containers (animated GIF, any still format) this is
-    * a REAL decode — `offset` is the sampled source frame index and
-    * `frame_hash` its perceptual dHash (MediaCodecs.frameDHashes, decoding
-    * ONLY the sampled frames). Blobs no ImageIO codec accepts (e.g. the
-    * GIMG stub format above) keep the previous deterministic byte-offset
-    * sampling so stub plumbing stays testable; real garbage rows drop
-    * (quarantine: `undecodableVideo` lists real-decode failures). */
+  /** Video-style frame sampling: UP TO n evenly spaced frames per blob.
+    * For ImageIO-decodable containers (animated GIF, any still format)
+    * this is a REAL decode — `offset` is the sampled source frame index
+    * and `frame_hash` its perceptual dHash (MediaCodecs.frameDHashes) —
+    * so a container with fewer than n frames emits one row per frame it
+    * HAS (a still emits exactly 1): sampling cannot invent frames, unlike
+    * the old synthetic byte-offset sampling which always emitted n.
+    * Composited GIFs still decode a sampled frame's predecessors (their
+    * pixels are part of the displayed canvas); the per-blob pixel budget
+    * bounds that work. Blobs no ImageIO codec accepts (e.g. the GIMG stub
+    * format above) keep the deterministic byte-offset sampling so stub
+    * plumbing stays testable; real garbage rows drop (quarantine:
+    * `undecodableVideo` lists real-decode failures). */
   def frameSample(df: DataFrame, n: Int = 4): Dataset[Frame] = {
     val spark = df.sparkSession
     import spark.implicits._

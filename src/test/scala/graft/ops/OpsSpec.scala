@@ -449,6 +449,88 @@ class MultimodalSpec extends AnyFunSuite {
     gifs.unpersist()
   }
 
+  test("delta-encoded GIF frames are composited (offsets + disposal), not hashed raw") {
+    import java.awt.image.BufferedImage
+    def rgbFill(w: Int, h: Int, seed: Long): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (graft.corpus.SyntheticCorpus.mix2(seed,
+          (x * 131 + y).toLong) & 0xffffff).toInt)
+      img
+    }
+    val base = rgbFill(32, 32, 11L)   // frame 0: full canvas
+    val patch = rgbFill(8, 8, 22L)    // frame 1: small delta at (12, 4)
+    val patch2 = rgbFill(6, 6, 33L)   // frame 2: delta at (2, 20)
+    val bytes = MediaCodecs.synthGifDelta(Seq(
+      (base, 0, 0, "doNotDispose"),
+      (patch, 12, 4, "doNotDispose"),
+      (patch2, 2, 20, "doNotDispose")))
+    val got = MediaCodecs.frameDHashes(bytes).toMap
+    assert(got.size == 3)
+    // independent oracle: composite by hand with plain AWT, re-encode each
+    // displayed canvas as PNG, hash through the single-image path. NOTE the
+    // GIF palette quantizes the written pixels, so the hand-composite must
+    // draw what the GIF DECODER returns for each frame raster, not the
+    // pre-quantization originals — read the rasters back first.
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val rasters = (0 until 3).map(reader.read)
+    reader.dispose(); iis.close()
+    val canvas = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+    val offs = Seq((0, 0), (12, 4), (2, 20))
+    offs.zipWithIndex.foreach { case ((x, y), i) =>
+      val g = canvas.createGraphics()
+      g.drawImage(rasters(i), x, y, null); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(canvas, "png", bos))
+      assert(MediaCodecs.dhashImage(bos.toByteArray) == got(i),
+        s"frame $i composite mismatch")
+    }
+    // and compositing MATTERS: the raw frame-1 patch alone hashes
+    // differently from the displayed frame-1 canvas
+    val bosRaw = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rasters(1), "png", bosRaw)
+    assert(MediaCodecs.dhashImage(bosRaw.toByteArray) != got(1))
+    // restoreToBackgroundColor clears the frame's rect before the next one
+    val bytes2 = MediaCodecs.synthGifDelta(Seq(
+      (base, 0, 0, "doNotDispose"),
+      (patch, 12, 4, "restoreToBackgroundColor"),
+      (patch2, 2, 20, "doNotDispose")))
+    val got2 = MediaCodecs.frameDHashes(bytes2).toMap
+    val canvas2 = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+    locally {
+      val g = canvas2.createGraphics()
+      g.drawImage(rasters(0), 0, 0, null)
+      g.setComposite(java.awt.AlphaComposite.Clear)
+      g.fillRect(12, 4, 8, 8) // patch disposed to background
+      g.setComposite(java.awt.AlphaComposite.SrcOver)
+      g.drawImage(rasters(2), 2, 20, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(canvas2, "png", bos))
+      assert(MediaCodecs.dhashImage(bos.toByteArray) == got2(2),
+        "restoreToBackgroundColor composite mismatch")
+    }
+  }
+
+  test("frame decode-bomb: cumulative pixel budget rejects tall frame stacks") {
+    // 40 frames of 1024x1024 = 41.9 Mpx total: fine per frame (<= 64 Mpx),
+    // fine in count (<= 4096), but a 300-frame version would blow the
+    // 256 Mpx cumulative budget. Use small real fixtures to assert the
+    // budget math rather than decoding gigabytes in CI.
+    val okFrames = (0 until 3).map(i =>
+      (MediaCodecs.synthFrame(5L, i, w = 64, h = 64), 0, 0, "doNotDispose"))
+    val ok = MediaCodecs.synthGifDelta(okFrames)
+    assert(MediaCodecs.frameDHashes(ok).length == 3)
+    // a synthetic reader-level check: 256 Mpx budget / (1024*1024) = 256
+    // frames; the public constant relationship the guard relies on
+    assert(MediaCodecs.MaxVideoTotalPixels / (1024L * 1024L) <
+      MediaCodecs.MaxVideoFrames,
+      "budget must bind before the frame-count bound for 1 Mpx frames")
+  }
+
   test("undecodable video blobs land in the quarantine view, not the job") {
     import spark.implicits._
     val gifBytes = MediaCodecs.synthGif(Seq(MediaCodecs.synthFrame(7L, 0)))
