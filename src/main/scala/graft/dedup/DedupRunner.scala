@@ -49,7 +49,8 @@ object DedupRunner {
     * multi-executor cluster"):
     *
     *   spark-submit --class graft.dedup.DedupRunner nxsearchspark.jar \
-    *     [--normalize-urls] <pages_parquet> <out_parquet> <stage_root> \
+    *     [--normalize-urls] [--bucket-parts N] \
+    *     <pages_parquet> <out_parquet> <stage_root> \
     *     [batch_id | --compact]
     *
     * Reads pages(url, warc_ts, html, text, lang), writes clusters(url,
@@ -79,17 +80,30 @@ object DedupRunner {
     * carry the flag, so champion counts must count distinct triples (see
     * DedupPipeline.clusters). */
   def main(args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_ == "--normalize-urls")
+    // --bucket-parts N: the incremental store's partition fan-out — a
+    // STORE-CREATION choice (pinned in CONFIG; see IncrementalDedup), so a
+    // web-scale deployment sets it to its cluster parallelism (e.g. 4096)
+    // at first ingest and must pass the same value on every later run.
+    val bpIdx = args.indexOf("--bucket-parts")
+    require(bpIdx < 0 || bpIdx + 1 < args.length,
+      "--bucket-parts requires a value")
+    val bucketParts =
+      if (bpIdx >= 0) args(bpIdx + 1).toInt else IncrementalDedup.BucketParts
+    val rest = args.zipWithIndex
+      .filter { case (_, i) => i != bpIdx && i != bpIdx + 1 || bpIdx < 0 }
+      .map(_._1)
+    val (flags, pos) = rest.partition(_ == "--normalize-urls")
     require(pos.length >= 3,
-      "usage: DedupRunner [--normalize-urls] <pages_parquet> <out_parquet> " +
-        "<stage_root> [batch_id | --compact]")
+      "usage: DedupRunner [--normalize-urls] [--bucket-parts N] " +
+        "<pages_parquet> <out_parquet> <stage_root> [batch_id | --compact]")
     val Array(in, out, root) = pos.take(3)
     val cfg = DedupConfig(normalizeUrls = flags.nonEmpty)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-dedup").getOrCreate()
     val clusters =
       if (pos.length >= 4) {
-        val inc = new IncrementalDedup(spark, s"$root/incremental", cfg)
+        val inc = new IncrementalDedup(spark, s"$root/incremental", cfg,
+          bucketParts = bucketParts)
         if (pos(3) == "--compact") inc.compact()
         else inc.addBatch(pos(3), spark.read.parquet(in)): Unit
         inc.clusters()

@@ -53,13 +53,19 @@ object StreamOps {
   def dedupIngest(pages: DataFrame, root: String,
       cfg: graft.dedup.DedupConfig = graft.dedup.DedupConfig(),
       checkpointDir: String,
-      autoCompactAfter: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      autoCompactAfter: Int = 64,
+      // store-creation fan-out, pinned in the store CONFIG (see
+      // IncrementalDedup.bucketParts) — a long-lived streaming store at web
+      // scale wants this set to the cluster's parallelism up front
+      bucketParts: Int = graft.dedup.IncrementalDedup.BucketParts)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = pages.sparkSession
     pages.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        new graft.dedup.IncrementalDedup(spark, root, cfg, autoCompactAfter)
+        new graft.dedup.IncrementalDedup(spark, root, cfg, autoCompactAfter,
+          bucketParts = bucketParts)
           .addBatch(f"stream_$batchId%06d", batch): Unit
       }
       .start()
