@@ -427,9 +427,14 @@ object Bench {
       // over the surviving pairs + a paired_consistent flag (false when any
       // pair was discarded — read the ≥5-pair ScalingBench run instead).
       val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
-      val pairs = (1 to nPairs).map { _ => (dedupLeg(8)._1, dedupLeg(cpus)._1) }
-      val valid = pairs.filter { case (t8, tHi) => t8 >= tHi }
-      val effs = valid.map { case (t8, tHi) => (t8 / tHi) / (cpus / 8.0) }.sorted
+      // one bandwidth reading per pair: the legs run minutes after the main
+      // block, and two r6 artifacts showed them inside degraded bus windows
+      // — the pair rows must carry their own window evidence
+      val pairs = (1 to nPairs).map { _ =>
+        (dedupLeg(8)._1, dedupLeg(cpus)._1, HostControls.bandwidthGBps(kThreads))
+      }
+      val valid = pairs.filter { case (t8, tHi, _) => t8 >= tHi }
+      val effs = valid.map { case (t8, tHi, _) => (t8 / tHi) / (cpus / 8.0) }.sorted
       // True median: for even survivor counts average the two middles —
       // effs(size/2) alone is the UPPER middle, which overstates the
       // efficiency exactly when a storm pair was discarded (3 → 2 pairs).
@@ -438,8 +443,9 @@ object Bench {
         else if (effs.size % 2 == 1) effs(effs.size / 2)
         else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
       val consistent = valid.size == pairs.size
-      val pairsJson = pairs.map { case (t8, tHi) =>
-        f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f}""" }.mkString("[", ",", "]")
+      val pairsJson = pairs.map { case (t8, tHi, bw) =>
+        f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f,"bw_gbps":$bw%.2f}"""
+      }.mkString("[", ",", "]")
       emit(
         f""","paired_dedup":{"pairs":$pairsJson,"cores_hi":$cpus,""" +
         f""""n_pairs":$nPairs,"n_valid":${valid.size},""" +
