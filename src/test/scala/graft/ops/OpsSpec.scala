@@ -515,6 +515,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("restoreToPrevious disposal restores the pre-frame canvas") {
+    import java.awt.image.BufferedImage
+    def rgbFill(w: Int, h: Int, seed: Long): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (graft.corpus.SyntheticCorpus.mix2(seed,
+          (x * 131 + y).toLong) & 0xffffff).toInt)
+      img
+    }
+    val base = rgbFill(32, 32, 44L)
+    val flash = rgbFill(16, 16, 55L) // frame 1: transient overlay
+    val patch = rgbFill(6, 6, 66L)   // frame 2: lands on the RESTORED canvas
+    val bytes = MediaCodecs.synthGifDelta(Seq(
+      (base, 0, 0, "doNotDispose"),
+      (flash, 8, 8, "restoreToPrevious"),
+      (patch, 1, 1, "doNotDispose")))
+    val got = MediaCodecs.frameDHashes(bytes).toMap
+    // decode the rasters back (palette round-trip) for the hand-composite
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val rasters = (0 until 3).map(reader.read)
+    reader.dispose(); iis.close()
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    // frame 2's displayed canvas = base + patch, WITHOUT the flash: the
+    // flash frame's disposal restored the pre-flash canvas
+    val expect2 = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+    locally {
+      val g = expect2.createGraphics()
+      g.drawImage(rasters(0), 0, 0, null)
+      g.drawImage(rasters(2), 1, 1, null)
+      g.dispose()
+    }
+    assert(MediaCodecs.dhashImage(png(expect2)) == got(2),
+      "frame 2 must composite onto the RESTORED canvas")
+    // while frame 1's own displayed canvas DID include the flash
+    val expect1 = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+    locally {
+      val g = expect1.createGraphics()
+      g.drawImage(rasters(0), 0, 0, null)
+      g.drawImage(rasters(1), 8, 8, null)
+      g.dispose()
+    }
+    assert(MediaCodecs.dhashImage(png(expect1)) == got(1))
+  }
+
   test("frame decode-bomb: cumulative pixel budget rejects tall frame stacks") {
     // 40 frames of 1024x1024 = 41.9 Mpx total: fine per frame (<= 64 Mpx),
     // fine in count (<= 4096), but a 300-frame version would blow the
