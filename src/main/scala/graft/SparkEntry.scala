@@ -63,6 +63,8 @@ object SparkEntry {
     "q_embed_ivf_topk" -> ((s, d) => TrainingOps.embedIvfTopK(s, d)),
     // text analysis
     "q_html_extract" -> ((s, d) => TrainingOps.htmlExtract(s, d)),
+    "q_pii_scrub" -> ((s, d) => TrainingOps.piiScrub(s, d)),
+    "q_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_quality" -> ((s, d) => TrainingOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TrainingOps.tokenCount(s, d)),
     "q_lang_id" -> ((s, d) => TrainingOps.langId(s, d)),
@@ -326,6 +328,53 @@ object SparkEntry {
         |         trim(regexp_replace(text,
         |              '[ \t\n\r\f\v\x{00A0}]+', ' ', 'g')))) END AS extracted
         |FROM documents""".stripMargin,
+    // Re-derives the PII synthesis AND the scrub with the IDENTICAL
+    // RE2-compatible patterns (TrainingOps.EmailRe/Ipv4Re/PhoneRe) — Java
+    // and RE2 agree on these constructs including greediness.
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || ' contact user' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '@mail' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' ||
+        |       CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |       CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ' call +1 555 00' ||
+        |       CAST(doc_id % 10 AS VARCHAR) || ' 12 34' ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+?\d[\d ()-]{7,}\d')) AS INT) AS n_phones
+        |FROM p""".stripMargin,
+    // Gopher-family repetition stats re-derived via list_zip of the token
+    // list with its own tail — same whitespace split as the quality oracle.
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS parts
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, z[1] || ' ' || z[2] AS bigram
+        |  FROM (SELECT doc_id, unnest(list_zip(parts, parts[2:])) AS z
+        |        FROM toks)
+        |  WHERE z[2] IS NOT NULL),
+        |cnts AS (
+        |  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac,
+        |  round(CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 4) AS dup_bigram_frac
+        |FROM cnts GROUP BY doc_id""".stripMargin,
     "q_quality" ->
       s"""WITH toks AS (SELECT doc_id, term FROM ($POSTINGS_RAW) WHERE term <> '')
          |SELECT doc_id, count(*) AS n_tokens,

@@ -578,6 +578,72 @@ object TrainingOps {
         .as("bpe_est"))
   }
 
+  /** PII-pattern regexes shared between the op and its spec. Deliberately
+    * RE2-compatible (no backreferences/lookaround) so the DuckDB oracle
+    * runs the IDENTICAL pattern — Java and RE2 agree on these constructs
+    * including leftmost-first greediness. Syntax-level scrubbing, not NER:
+    * the redaction pass a training-data pipeline runs FIRST, before any
+    * model-based pass. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d[\\d ()-]{7,}\\d"
+
+  /** PII scrubbing over the documents table: redact email addresses, IPv4
+    * literals, and phone-shaped digit runs, with per-kind counts emitted
+    * for the redaction-audit table a compliant pipeline keeps. The corpus
+    * text carries no PII, so the op (like urlCanonical/htmlExtract)
+    * SYNTHESIZES deterministic PII spans from doc_id and scrubs them —
+    * the DuckDB oracle re-derives both the synthesis and the scrub from
+    * the same patterns. Counts are computed on the pre-scrub text; the
+    * three patterns cannot overlap (emails contain letters where phones
+    * need digit/space runs; IPs contain dots which phones exclude), so
+    * scrub order does not affect the result. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val withPii = concat(
+      coalesce(col("text"), lit("")),
+      lit(" contact user"), (id % 50).cast("string"),
+      lit("@mail"), (id % 7).cast("string"), lit(".example.com"),
+      when(id % 3 === 0, concat(lit(" from 10.0."),
+        (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"))).otherwise(""),
+      when(id % 4 === 0, concat(lit(" call +1 555 00"),
+        (id % 10).cast("string"), lit(" 12 34"))).otherwise(""))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(withPii,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    documents(spark, dir).select(id,
+      scrubbed.as("scrubbed"),
+      regexp_count(withPii, lit(EmailRe)).as("n_emails"),
+      regexp_count(withPii, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(withPii, lit(PhoneRe)).as("n_phones"))
+  }
+
+  /** Gopher-style token-repetition quality signals: per document, the
+    * fraction of word bigrams taken by the single most frequent bigram
+    * (top_bigram_frac) and the fraction of bigram occurrences whose bigram
+    * appears more than once (dup_bigram_frac) — the published repetition
+    * filters for web-crawl corpora (Rae et al. 2021 §A1.1 use exactly this
+    * family: fraction of characters/tokens in duplicated n-grams). Pure
+    * whitespace tokens (the same split as the quality/token-count oracles);
+    * docs with fewer than two tokens have no bigrams and are omitted. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        round(max("cnt").cast("double") / sum("cnt"), 4)
+          .as("top_bigram_frac"),
+        round(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+          .cast("double") / sum("cnt"), 4).as("dup_bigram_frac"))
+  }
+
   /** Document fingerprinting: winnowing fingerprint count + simhash via the
     * reference token pipeline (rolling-hash fingerprint family). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {

@@ -94,6 +94,28 @@ class OpsSpec extends AnyFunSuite {
     assert(part.count() > 0)
   }
 
+  test("piiScrub leaves no matching spans; repetition fractions bounded") {
+    import org.apache.spark.sql.functions.col
+    val p = TrainingOps.piiScrub(spark, dir)
+    // replace-all semantics: no full pattern match survives the scrub
+    assert(p.where(col("scrubbed").rlike(TrainingOps.EmailRe) ||
+      col("scrubbed").rlike(TrainingOps.Ipv4Re) ||
+      col("scrubbed").rlike(TrainingOps.PhoneRe)).count() == 0)
+    // the synthesis plants at least one email per doc; counts must see it
+    assert(p.where(col("n_emails") < 1).count() == 0)
+    assert(p.where(col("scrubbed").contains("<EMAIL>")).count() == p.count())
+    val r = TrainingOps.repetitionStats(spark, dir)
+    assert(r.count() > 0)
+    assert(r.where(col("top_bigram_frac") <= 0 ||
+      col("top_bigram_frac") > 1).count() == 0)
+    assert(r.where(col("dup_bigram_frac") < 0 ||
+      col("dup_bigram_frac") > 1).count() == 0)
+    // a doc's top bigram is itself duplicated whenever it repeats: the dup
+    // fraction dominates the top fraction on any doc where top >= 2 bigrams
+    assert(r.where(col("dup_bigram_frac") < col("top_bigram_frac") &&
+      col("top_bigram_frac") > 0.5).count() == 0)
+  }
+
   test("langId detects planted languages") {
     assert(LangId.predict("the cat and the dog are in the house that is red") == "en")
     assert(LangId.predict("der Hund und die Katze sind nicht in dem Haus") == "de")
