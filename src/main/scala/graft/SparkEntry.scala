@@ -65,6 +65,7 @@ object SparkEntry {
     "q_html_extract" -> ((s, d) => TrainingOps.htmlExtract(s, d)),
     "q_pii_scrub" -> ((s, d) => TrainingOps.piiScrub(s, d)),
     "q_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
+    "q_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "q_quality" -> ((s, d) => TrainingOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TrainingOps.tokenCount(s, d)),
     "q_lang_id" -> ((s, d) => TrainingOps.langId(s, d)),
@@ -356,6 +357,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t,
         |    '\+?\d[\d ()-]{7,}\d')) AS INT) AS n_phones
         |FROM p""".stripMargin,
+    // Benchmark decontamination re-derived end to end: the same whitespace
+    // tokens, 13-token windows via 1-based inclusive list slices, the same
+    // doc_id % 49 benchmark slice, distinct-gram semi-join, zero-fill.
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS parts
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(parts) - 12),
+        |        i -> array_to_string(parts[i:i+12], ' '))) AS g
+        |    FROM toks)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 49 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM grams WHERE g IN (SELECT g FROM bench)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
     // Gopher-family repetition stats re-derived via list_zip of the token
     // list with its own tail — same whitespace split as the quality oracle.
     "q_repetition" ->

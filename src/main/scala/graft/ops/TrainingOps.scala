@@ -644,6 +644,51 @@ object TrainingOps {
           .cast("double") / sum("cnt"), 4).as("dup_bigram_frac"))
   }
 
+  /** Benchmark decontamination — the published n-gram-collision method
+    * (GPT-3 appendix C; PaLM; Llama use the same family, typically with
+    * 8-13-gram windows): a training document is contaminated when it
+    * shares any length-`n` token window with the evaluation-benchmark set.
+    * Output: every document with the count of DISTINCT shared n-grams and
+    * the contaminated flag. The benchmark set here is a deterministic
+    * slice of the corpus (doc_id % 49 == 0 — stand-in for the real
+    * held-out benchmark table; the modulus is chosen so the planted
+    * near-dup structure yields CROSS-document hits, not just
+    * self-overlap), so the DuckDB oracle re-derives it; the
+    * benchmark docs themselves flag trivially (full self-overlap), which
+    * is the correct semantics — a training corpus must not contain the
+    * benchmark either.
+    *
+    * Scale shape: a benchmark n-gram set is MBs even for large eval
+    * suites, so the membership probe is a broadcast left-semi join against
+    * the (distinct) document n-grams — the corpus never shuffles on the
+    * gram key. At 100 TB the gram key would be xxhash64(gram) (8 bytes
+    * instead of ~80); the string key here keeps the op oracle-replicable
+    * (DuckDB has no xxhash64), and a 64-bit-hash variant changes one
+    * column expression. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // sequence(a, b) DESCENDS when b < a — guard short docs to an empty
+    // gram array instead of generating negative window starts
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val docGrams = documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val benchGrams = docGrams.where(col("doc_id") % 49 === 0)
+      .select("gram").distinct()
+    val hits = docGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Document fingerprinting: winnowing fingerprint count + simhash via the
     * reference token pipeline (rolling-hash fingerprint family). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {

@@ -116,6 +116,23 @@ class OpsSpec extends AnyFunSuite {
       col("top_bigram_frac") > 0.5).count() == 0)
   }
 
+  test("decontaminate flags benchmark docs and their near-dups only") {
+    import org.apache.spark.sql.functions.col
+    val d = TrainingOps.decontaminate(spark, dir)
+    // every benchmark-slice doc LONG ENOUGH TO HAVE A 13-GRAM self-flags
+    // (a shorter doc has no windows and correctly cannot be contaminated)
+    val longBench = TrainingOps.documents(spark, dir)
+      .where(col("doc_id") % 49 === 0 && col("text").isNotNull &&
+        size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 13)
+      .select("doc_id")
+    assert(d.join(longBench, "doc_id").where(!col("contaminated"))
+      .count() == 0)
+    // flagged docs all have positive hit counts; unflagged all zero
+    assert(d.where(col("contaminated") =!= (col("n_hits") > 0)).count() == 0)
+    // output covers the whole table (zero-filled left join)
+    assert(d.count() == TrainingOps.documents(spark, dir).count())
+  }
+
   test("langId detects planted languages") {
     assert(LangId.predict("the cat and the dog are in the house that is red") == "en")
     assert(LangId.predict("der Hund und die Katze sind nicht in dem Haus") == "de")
