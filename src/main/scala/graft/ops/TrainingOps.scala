@@ -594,10 +594,12 @@ object TrainingOps {
     * text carries no PII, so the op (like urlCanonical/htmlExtract)
     * SYNTHESIZES deterministic PII spans from doc_id and scrubs them —
     * the DuckDB oracle re-derives both the synthesis and the scrub from
-    * the same patterns. Counts are computed on the pre-scrub text; the
-    * three patterns cannot overlap (emails contain letters where phones
-    * need digit/space runs; IPs contain dots which phones exclude), so
-    * scrub order does not affect the result. */
+    * the same patterns. Counts are computed independently per
+    * pattern on the pre-scrub text (a syntax-level tool: a digit-only
+    * email local part would count under both email and phone — the oracle
+    * applies the same rule). The scrub itself is order-insensitive here:
+    * email runs first and its replacement token contains no digits, and
+    * the synthesized spans don't overlap. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val withPii = concat(
