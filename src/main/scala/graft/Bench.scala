@@ -427,14 +427,21 @@ object Bench {
       // over the surviving pairs + a paired_consistent flag (false when any
       // pair was discarded — read the ≥5-pair ScalingBench run instead).
       val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
-      // one bandwidth reading per pair: the legs run minutes after the main
-      // block, and two r6 artifacts showed them inside degraded bus windows
-      // — the pair rows must carry their own window evidence
+      // bandwidth readings BRACKETING each pair: the legs run minutes after
+      // the main block, and two r6 artifacts showed them inside degraded bus
+      // windows — the pair rows must carry their own window evidence, and a
+      // single post-pair reading would miss degradation that cleared while
+      // the second leg ran. bw0 of pair k+1 is (time-wise) just after bw1 of
+      // pair k, so the sequence samples the whole paired block.
       val pairs = (1 to nPairs).map { _ =>
-        (dedupLeg(8)._1, dedupLeg(cpus)._1, HostControls.bandwidthGBps(kThreads))
+        val bw0 = HostControls.bandwidthGBps(kThreads)
+        val t8 = dedupLeg(8)._1
+        val tHi = dedupLeg(cpus)._1
+        val bw1 = HostControls.bandwidthGBps(kThreads)
+        (t8, tHi, bw0, bw1)
       }
-      val valid = pairs.filter { case (t8, tHi, _) => t8 >= tHi }
-      val effs = valid.map { case (t8, tHi, _) => (t8 / tHi) / (cpus / 8.0) }.sorted
+      val valid = pairs.filter { case (t8, tHi, _, _) => t8 >= tHi }
+      val effs = valid.map { case (t8, tHi, _, _) => (t8 / tHi) / (cpus / 8.0) }.sorted
       // True median: for even survivor counts average the two middles —
       // effs(size/2) alone is the UPPER middle, which overstates the
       // efficiency exactly when a storm pair was discarded (3 → 2 pairs).
@@ -443,8 +450,9 @@ object Bench {
         else if (effs.size % 2 == 1) effs(effs.size / 2)
         else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
       val consistent = valid.size == pairs.size
-      val pairsJson = pairs.map { case (t8, tHi, bw) =>
-        f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f,"bw_gbps":$bw%.2f}"""
+      val pairsJson = pairs.map { case (t8, tHi, bw0, bw1) =>
+        f"""{"t8_sec":$t8%.3f,"t_hi_sec":$tHi%.3f,""" +
+          f""""bw_pre_gbps":$bw0%.2f,"bw_post_gbps":$bw1%.2f}"""
       }.mkString("[", ",", "]")
       emit(
         f""","paired_dedup":{"pairs":$pairsJson,"cores_hi":$cpus,""" +

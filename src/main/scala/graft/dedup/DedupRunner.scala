@@ -84,7 +84,11 @@ object DedupRunner {
     // STORE-CREATION choice (pinned in CONFIG; see IncrementalDedup), so a
     // web-scale deployment sets it to its cluster parallelism (e.g. 4096)
     // at first ingest and must pass the same value on every later run.
-    val bpIdx = args.indexOf("--bucket-parts")
+    val bpIdxs = args.zipWithIndex.collect {
+      case ("--bucket-parts", i) => i
+    }
+    require(bpIdxs.size <= 1, "--bucket-parts given more than once")
+    val bpIdx = bpIdxs.headOption.getOrElse(-1)
     require(bpIdx < 0 || bpIdx + 1 < args.length,
       "--bucket-parts requires a value")
     val bucketParts =
@@ -96,6 +100,12 @@ object DedupRunner {
     require(pos.length >= 3,
       "usage: DedupRunner [--normalize-urls] [--bucket-parts N] " +
         "<pages_parquet> <out_parquet> <stage_root> [batch_id | --compact]")
+    // the flag configures the INCREMENTAL store; silently ignoring it on a
+    // from-scratch recluster would leave the user believing a fan-out was
+    // set that no store ever received
+    require(bpIdx < 0 || pos.length >= 4,
+      "--bucket-parts applies only to incremental ingest " +
+        "(pass a batch_id or --compact)")
     val Array(in, out, root) = pos.take(3)
     val cfg = DedupConfig(normalizeUrls = flags.nonEmpty)
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -34,6 +34,13 @@ object TrainingOps {
         explode(split(lower(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
 
+  /** The same whitespace token stream as an ARRAY column — one definition
+    * for every op whose DuckDB oracle re-derives it via
+    * string_split + list_filter (repetitionStats, decontaminate): the
+    * split must stay byte-identical across them and their oracles. */
+  private def wsTokens: Column =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
   // ---- dedup family ----
 
   /** URL canonicalization over a synthesized messy-URL column (case-shifted
@@ -629,7 +636,7 @@ object TrainingOps {
     * whitespace tokens (the same split as the quality/token-count oracles);
     * docs with fewer than two tokens have no bigrams and are omitted. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val toks = wsTokens
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
@@ -668,19 +675,24 @@ object TrainingOps {
     * (DuckDB has no xxhash64), and a 64-bit-hash variant changes one
     * column expression. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val toks = wsTokens
     // sequence(a, b) DESCENDS when b < a — guard short docs to an empty
     // gram array instead of generating negative window starts
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val docGrams = documents(spark, dir)
+    def gramsOf(df: DataFrame): DataFrame = df
       .where(col("text").isNotNull)
       .select(col("doc_id"), explode(grams).as("gram"))
       .distinct()
-    val benchGrams = docGrams.where(col("doc_id") % 49 === 0)
-      .select("gram").distinct()
+    val docGrams = gramsOf(documents(spark, dir))
+    // the benchmark side prunes BEFORE the explode (its own tiny scan):
+    // deriving it from docGrams would evaluate the corpus-wide
+    // explode+distinct twice — once collected for the broadcast, once as
+    // the probe side
+    val benchGrams = gramsOf(documents(spark, dir)
+      .where(col("doc_id") % 49 === 0)).select("gram").distinct()
     val hits = docGrams
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))

@@ -110,10 +110,12 @@ class OpsSpec extends AnyFunSuite {
       col("top_bigram_frac") > 1).count() == 0)
     assert(r.where(col("dup_bigram_frac") < 0 ||
       col("dup_bigram_frac") > 1).count() == 0)
-    // a doc's top bigram is itself duplicated whenever it repeats: the dup
-    // fraction dominates the top fraction on any doc where top >= 2 bigrams
-    assert(r.where(col("dup_bigram_frac") < col("top_bigram_frac") &&
-      col("top_bigram_frac") > 0.5).count() == 0)
+    // a doc's top bigram is itself duplicated whenever it REPEATS (max
+    // cnt >= 2 <=> top_frac > 1/n_bigrams requires the n_bigrams >= 2
+    // guard: a single-bigram doc has top=1.0 with nothing duplicated)
+    assert(r.where(col("n_bigrams") >= 2 &&
+      col("top_bigram_frac") > lit(0.5) &&
+      col("dup_bigram_frac") < col("top_bigram_frac")).count() == 0)
   }
 
   test("decontaminate flags benchmark docs and their near-dups only") {
