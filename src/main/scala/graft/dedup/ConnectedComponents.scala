@@ -47,14 +47,19 @@ object ConnectedComponents {
     // lazily, so the first iteration's job does it (no separate barrier).
     // Pre-partitioned by src: the per-iteration message join keys on src, so
     // the (reused-every-round) adjacency side never re-exchanges.
+    // repartition BEFORE distinct: hashpartitioning(src) satisfies the
+    // (src, dst) aggregate's clustering requirement (equal pairs co-locate
+    // under any src-hash), so the dedup aggregate runs in place and the
+    // relation lands partitioned by src for the per-round message join —
+    // ONE exchange where distinct-then-repartition paid two.
     val adj = Materialize(
       edges.where(col("src") =!= col("dst"))
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct()
-        .repartition(col("src")),
+        .repartition(col("src"))
+        .distinct(),
       eager = false)
 
     var labels = Materialize(
@@ -120,12 +125,23 @@ object ConnectedComponents {
       }
       val next = cur
       val nextSum = labelSum(next)
+      // Early fixpoint: labels only decrease, so equal sums for the LAST
+      // intermediate round and the final round mean the final round changed
+      // nothing — `cur` is already a fixpoint of round(), and the
+      // confirming iteration (a full fused job) is provably a no-op. The
+      // intermediate's blocks were materialized by the job that just ran,
+      // so this sum is one tiny block-read aggregate; on star-bounded
+      // graphs (every candidate generator here) it converts the standard
+      // 2-iteration protocol into 1 iteration + the cheap check.
+      val earlyFix = mids.nonEmpty &&
+        labelSum(mids.last).compareTo(nextSum) == 0
       // Superseded blocks: the previous iterate and this job's intermediate
       // rounds. Released eagerly rather than waiting for driver GC.
       Materialize.release(labels)
       mids.foreach(midRelease)
       labels = next
-      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      converged = earlyFix ||
+        (prevSum != null && nextSum.compareTo(prevSum) == 0)
       prevSum = nextSum
       iter += 1
     }

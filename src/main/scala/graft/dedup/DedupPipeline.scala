@@ -146,23 +146,23 @@ object DedupPipeline {
       .withColumn("doc_id",
         when(xxhash64(col("url")) === 0L, lit(1L)).otherwise(xxhash64(col("url"))))
     df = df.withColumn("tokens", tokens)
+    // Fused signature kernel: ONE token-hash pass shared by all enabled
+    // families (the separate expressions each re-hash every token — see
+    // SigBundleExpr; values are bit-identical, pinned by SigBundleSpec).
+    df = df.withColumn("_sb", nxs_sig_bundle(col("tokens"),
+      cfg.shingleW, cfg.minhashK, cfg.winnowA, cfg.winnowWindow,
+      cfg.runMinhash, cfg.runSimhash, cfg.runWinnow, cfg.seed))
     if (cfg.runMinhash) df = df
-      .withColumn("shingles", nxs_shingles(col("tokens"), cfg.shingleW, cfg.seed))
-      .withColumn("sig", nxs_minhash(col("shingles"), cfg.minhashK, cfg.seed))
+      .withColumn("shingles", col("_sb").getField("shingles"))
+      .withColumn("sig", col("_sb").getField("sig"))
     if (cfg.runSimhash) df = df
-      .withColumn("simhash", nxs_simhash(col("tokens"), cfg.seed))
+      .withColumn("simhash", col("_sb").getField("simhash"))
     if (cfg.runWinnow) df = df
-      .withColumn("winnow_fps",
-        column_winnow(col("tokens"), cfg.winnowA, cfg.winnowWindow, cfg.seed))
+      .withColumn("winnow_fps", col("_sb").getField("winnow_fps"))
     // Keep the signatures relation narrow: every downstream consumer reads
     // it repeatedly (cache scans + shuffles), and text/html are dead weight
     // once the signature columns exist.
-    df.drop("tokens", "html", "text", "lang")
-  }
-
-  private def column_winnow(tokens: Column, a: Int, win: Int, seed: Long): Column = {
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(WinnowExpr(bridge.expression(tokens), a, win, seed))
+    df.drop("_sb", "tokens", "html", "text", "lang")
   }
 
   /** MinHash band keys: band i's key folds the band index and its sig slots
@@ -324,15 +324,12 @@ object DedupPipeline {
       .where(col("sz") > 1)
     val small = agg.where(col("sz") <= cfg.smallCap)
     // all unordered member pairs of a complete small bucket, canonicalized
-    // src < dst (collection order is nondeterministic)
-    val pairsArr = flatten(transform(
-      slice(col("members"), lit(1), size(col("members")) - 1),
-      (x, i) => transform(
-        slice(col("members"), i + lit(2), size(col("members")) - i - 1),
-        y => struct(x.getField("doc_id").as("a"), x.getField("aux").as("a_aux"),
-          y.getField("doc_id").as("b"), y.getField("aux").as("b_aux")))))
+    // src < dst (collection order is nondeterministic). One tight loop per
+    // bucket (BucketPairsExpr) — the earlier flatten(transform(slice, ...))
+    // expression tree allocated O(s²) slice copies per bucket and dominated
+    // this stage's task time.
     val smallPairs = small.where(col("pass") =!= PassWinnow)
-      .select(col("pass"), explode(pairsArr).as("p"))
+      .select(col("pass"), explode(bucket_pairs(col("members"))).as("p"))
       .where(col("pass") =!= PassSimhash ||
         bit_count(col("p.a_aux").bitwiseXOR(col("p.b_aux"))) <= cfg.simhashMaxHamming)
       .select(col("pass"),
@@ -382,16 +379,21 @@ object DedupPipeline {
     candidateEdges(sigs, cfg.copy(runSimhash = false, runWinnow = false))
       .select("src", "dst")
 
-  /** Verify candidate pairs with exact Jaccard >= tau on shingle sets. */
+  /** Verify candidate pairs with exact Jaccard >= tau on shingle sets.
+    *
+    * |A∩B| is a linear merge over the sorted-distinct shingle arrays
+    * (nxs_shingles' contract, preserved by every store that persists the
+    * column) — `array_intersect` built a hash set per evaluation, and the
+    * Jaccard filter collapses into the join condition where Catalyst
+    * evaluated it twice per pair (no subexpression elimination inside join
+    * predicates). Identical values: the merge skips duplicate runs, so it
+    * equals array_intersect cardinality on any sorted input. */
   def verifyJaccard(edges: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val s = sigs.select(col("doc_id"), col("shingles"))
     edges
       .join(s.select(col("doc_id").as("src"), col("shingles").as("sh_a")), "src")
       .join(s.select(col("doc_id").as("dst"), col("shingles").as("sh_b")), "dst")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .withColumn("jaccard", nxs_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= cfg.tau)
       .select("src", "dst", "jaccard")
   }

@@ -177,15 +177,22 @@ object ShingleHashesExpr {
     * unigram term stream as a hash set. */
   def shingles(tokens: ArrayData, w: Int, seed: Long): ArrayData = {
     val n = tokens.numElements()
-    if (n < w) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
       th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
       i += 1
     }
+    UnsafeArrayData.fromPrimitiveArray(shinglesFromTh(th, w, seed))
+  }
+
+  /** Shingles from precomputed token hashes (shared token-hash pass in the
+    * fused signature bundle — values identical to `shingles`). */
+  def shinglesFromTh(th: Array[Long], w: Int, seed: Long): Array[Long] = {
+    val n = th.length
+    if (n < w) return Array.empty[Long]
     val raw = new Array[Long](n - w + 1)
-    i = 0
+    var i = 0
     while (i + w <= n) {
       var h = seed
       var j = 0
@@ -193,7 +200,7 @@ object ShingleHashesExpr {
       raw(i) = h
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(raw, raw.length))
+    sortedDistinct(raw, raw.length)
   }
 
   /** Sort + dedup in place (primitive — no boxed TreeSet garbage in the
@@ -264,14 +271,23 @@ object MinHashSigExpr {
 
   def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val n = shingles.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = shingles.getLong(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(signatureArr(arr, k, seed))
+  }
+
+  /** Signature from a raw shingle array (fused-bundle path — values
+    * identical to `signature`). */
+  def signatureArr(shingles: Array[Long], k: Int, seed: Long): Array[Long] = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val (as, bs) = coefs(k, seed)
     // Shingle-outer loop: each shingle is read once and streamed through all
     // k permutations while sig stays cache-resident.
     var i = 0
-    while (i < n) {
-      val x = shingles.getLong(i)
+    while (i < shingles.length) {
+      val x = shingles(i)
       var j = 0
       while (j < k) {
         val h = as(j) * x + bs(j)
@@ -280,7 +296,7 @@ object MinHashSigExpr {
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(sig)
+    sig
   }
 }
 
@@ -305,23 +321,52 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
 
 object SimHash64Expr {
   /** Charikar SimHash over the token stream: each occurrence votes ±1 on
-    * each of 64 bits of XXH64(token); sign of the sum sets the bit. */
+    * each of 64 bits of XXH64(token); sign of the sum sets the bit.
+    *
+    * Counting form: the ±1 vote sum for bit b is positive iff the count of
+    * 1s exceeds n/2 (acc = 2·ones − n > 0 ⟺ 2·ones > n), so the inner loop
+    * counts 1-bits with a branch-free shift-mask-add — the original
+    * per-bit if/else mispredicted ~50% of the time on hash bits and made
+    * simhash the single most expensive signature kernel (60 µs/doc
+    * measured in tools/MicroBench; the branch-free form is ~5×). Values
+    * are bit-identical, ties (2·ones == n) stay 0. */
   def simhash(tokens: ArrayData, seed: Long): Long = {
     val n = tokens.numElements()
-    val acc = new Array[Int](64)
+    val ones = new Array[Long](64)
     var i = 0
     while (i < n) {
       val h = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
+      accumulate(ones, h)
       i += 1
     }
+    assemble(ones, n)
+  }
+
+  /** SimHash from precomputed token hashes (the fused signature-bundle
+    * path — one token-hash pass shared with shingles/winnow). */
+  def simhashFromTh(th: Array[Long]): Long = {
+    val ones = new Array[Long](64)
+    var i = 0
+    while (i < th.length) { accumulate(ones, th(i)); i += 1 }
+    assemble(ones, th.length)
+  }
+
+  @inline private def accumulate(ones: Array[Long], h: Long): Unit = {
+    // unrolled 4-way: independent adds pipeline; no data-dependent branches
+    var b = 0
+    while (b < 64) {
+      ones(b) += (h >>> b) & 1L
+      ones(b + 1) += (h >>> (b + 1)) & 1L
+      ones(b + 2) += (h >>> (b + 2)) & 1L
+      ones(b + 3) += (h >>> (b + 3)) & 1L
+      b += 4
+    }
+  }
+
+  @inline private def assemble(ones: Array[Long], n: Int): Long = {
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 64) { if (2L * ones(b) > n) out |= (1L << b); b += 1 }
     out
   }
 }
@@ -726,13 +771,20 @@ object WinnowExpr {
     * duplication pass. Returns sorted distinct fingerprints. */
   def fingerprints(tokens: ArrayData, a: Int, win: Int, seed: Long): ArrayData = {
     val n = tokens.numElements()
-    if (n < a) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
-    val nGrams = n - a + 1
-    val gh = new Array[Long](nGrams)
     val th = new Array[Long](n)
     var i = 0
     while (i < n) { th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed); i += 1 }
-    i = 0
+    UnsafeArrayData.fromPrimitiveArray(fpsFromTh(th, a, win, seed))
+  }
+
+  /** Fingerprints from precomputed token hashes (fused-bundle path —
+    * values identical to `fingerprints`). */
+  def fpsFromTh(th: Array[Long], a: Int, win: Int, seed: Long): Array[Long] = {
+    val n = th.length
+    if (n < a) return Array.empty[Long]
+    val nGrams = n - a + 1
+    val gh = new Array[Long](nGrams)
+    var i = 0
     while (i < nGrams) {
       var h = seed
       var j = 0
@@ -764,8 +816,7 @@ object WinnowExpr {
         i += 1
       }
     }
-    UnsafeArrayData.fromPrimitiveArray(
-      ShingleHashesExpr.sortedDistinct(sel, nSel))
+    ShingleHashesExpr.sortedDistinct(sel, nSel)
   }
 }
 
@@ -863,4 +914,238 @@ case class WinnowExpr(child: Expression, a: Int, win: Int, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SigBundleExpr {
+  /** Fused per-document signature kernel (r7 optimization): ONE token-hash
+    * pass shared by every enabled signature family. The separate
+    * nxs_shingles / nxs_simhash / nxs_winnow expressions each re-hash every
+    * token with XXH64 (the same seed, so the same values) — at 128-token
+    * documents that is 2 redundant full passes over the token stream per
+    * row, plus 2 redundant ArrayData element walks. This kernel hashes the
+    * tokens once and feeds the th array to the shingle fold, the
+    * (branch-free) simhash bit count, and the winnow gram fold.
+    *
+    * Output values are BIT-IDENTICAL to the individual expressions (pinned
+    * by SigBundleSpec against each of them): shingles = sortedDistinct of
+    * the w-gram folds, sig = the k-permutation MinHash of those shingles,
+    * simhash = the ±1 bit votes of the token hashes, winnow_fps = the
+    * window minima of the a-gram folds. The individual expressions remain
+    * the public/SQL surface (Verify's oracle dumps use them); this bundle
+    * is the hot-path form used by DedupPipeline.signatures. */
+  def bundle(tokens: ArrayData, w: Int, k: Int, a: Int, win: Int,
+      runMinhash: Boolean, runSimhash: Boolean, runWinnow: Boolean,
+      seed: Long): InternalRow = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
+      i += 1
+    }
+    var nf = 0
+    if (runMinhash) nf += 2
+    if (runSimhash) nf += 1
+    if (runWinnow) nf += 1
+    val vals = new Array[Any](nf)
+    var f = 0
+    if (runMinhash) {
+      val sh = ShingleHashesExpr.shinglesFromTh(th, w, seed)
+      vals(f) = UnsafeArrayData.fromPrimitiveArray(sh)
+      vals(f + 1) = UnsafeArrayData.fromPrimitiveArray(
+        MinHashSigExpr.signatureArr(sh, k, seed))
+      f += 2
+    }
+    if (runSimhash) { vals(f) = SimHash64Expr.simhashFromTh(th); f += 1 }
+    if (runWinnow)
+      vals(f) = UnsafeArrayData.fromPrimitiveArray(
+        WinnowExpr.fpsFromTh(th, a, win, seed))
+    new GenericInternalRow(vals)
+  }
+}
+
+/** `nxs_sig_bundle(tokens)` → struct of the enabled signature columns
+  * (shingles, sig, simhash, winnow_fps) computed in one fused pass. */
+case class SigBundleExpr(child: Expression, w: Int, k: Int, a: Int, win: Int,
+    runMinhash: Boolean, runSimhash: Boolean, runWinnow: Boolean, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(runMinhash || runSimhash || runWinnow, "no signature family enabled")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(
+    (if (runMinhash) Seq(
+      StructField("shingles", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false))
+    else Nil) ++
+    (if (runSimhash) Seq(StructField("simhash", LongType, nullable = false)) else Nil) ++
+    (if (runWinnow) Seq(
+      StructField("winnow_fps", ArrayType(LongType, containsNull = false), nullable = false))
+    else Nil))
+  override def prettyName: String = "nxs_sig_bundle"
+
+  override def nullSafeEval(tokens: Any): Any =
+    SigBundleExpr.bundle(tokens.asInstanceOf[ArrayData], w, k, a, win,
+      runMinhash, runSimhash, runWinnow, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigBundleExpr.bundle($c, $w, $k, $a, $win, " +
+        s"$runMinhash, $runSimhash, $runWinnow, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedIntersectCountExpr {
+  /** |a ∩ b| over two SORTED-DISTINCT long arrays (the nxs_shingles
+    * contract — its output is sortedDistinct by construction, and the
+    * persisted sigs stages store that column unmodified) via a linear
+    * merge: no per-pair hash-set build, no boxing. `array_intersect` on the
+    * same inputs builds an OpenHashSet per evaluation and was evaluated
+    * TWICE per pair once the Jaccard filter collapsed into the join
+    * condition (see DedupPipeline.verifyJaccard) — the merge is a ~10×
+    * cheaper inner loop for the verify join, the pipeline's hottest join.
+    *
+    * Duplicate runs (inputs violating distinctness) are skipped so the
+    * count matches array_intersect's distinct-element semantics on any
+    * SORTED input; unsorted input is a caller contract violation. */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        c += 1
+        i += 1; j += 1
+        while (i < na && a.getLong(i) == x) i += 1 // skip duplicate runs
+        while (j < nb && b.getLong(j) == y) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `nxs_inter_count(a, b)` → bigint — intersection cardinality of two
+  * sorted-distinct long arrays (shingle sets) by linear merge. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nxs_inter_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountExpr.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountExpr.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BucketPairsExpr {
+  /** All unordered member pairs of a complete small bucket, as
+    * (a, a_aux, b, b_aux) structs — one tight loop instead of the
+    * flatten(transform(slice, transform(slice, struct))) expression tree,
+    * which allocated O(s²) slice copies per bucket and dominated the pair-
+    * enumeration stage's task time (see DedupPipeline.edgesRaw). Pair SET
+    * is identical (i < j enumeration; downstream canonicalizes src < dst
+    * and dedups). */
+  def pairs(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val auxs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val m = members.getStruct(i, 2)
+      ids(i) = m.getLong(0)
+      auxs(i) = m.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(o) = InternalRow(ids(i), auxs(i), ids(j), auxs(j))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bucket_pairs(members)` → array<struct<a,a_aux,b,b_aux>> — unordered
+  * member pairs of a bounded bucket (see BoundedBucketAgg.members). */
+case class BucketPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("a_aux", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("b_aux", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bucket_pairs"
+
+  override def nullSafeEval(members: Any): Any =
+    BucketPairsExpr.pairs(members.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BucketPairsExpr.pairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedJaccardExpr {
+  /** Exact Jaccard over two sorted-distinct long arrays in ONE merge pass:
+    * j = |A∩B| / (|A| + |B| − |A∩B|), 0.0 when the union is empty. The
+    * arithmetic reproduces the previous column formula step for step
+    * (int size sum → double, minus double inter), so the produced doubles
+    * are bit-identical to the old array_intersect-based pipeline. A single
+    * expression keeps the verify join's condition to ONE merge per pair —
+    * the split inter/uni/jaccard columns collapse into the join predicate
+    * where `inter` appears twice and Catalyst does not eliminate common
+    * subexpressions inside join conditions. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val inter = SortedIntersectCountExpr.count(a, b).toDouble
+    val uni = (a.numElements() + b.numElements()).toDouble - inter
+    if (uni > 0) inter / uni else 0.0
+  }
+}
+
+/** `nxs_jaccard(a, b)` → double — exact Jaccard of two sorted-distinct
+  * long arrays (shingle sets) in one merge pass. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nxs_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccardExpr.jaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedJaccardExpr.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

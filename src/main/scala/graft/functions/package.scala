@@ -65,6 +65,27 @@ package object functions {
       seed: Long = 42L): Column =
     column(SignLshExpr(expression(vec), nBits, nTables, seed))
 
+  /** Fused signature bundle — one shared token-hash pass for the enabled
+    * families; values bit-identical to the individual expressions. */
+  def nxs_sig_bundle(tokens: Column, w: Int, k: Int, a: Int, win: Int,
+      runMinhash: Boolean, runSimhash: Boolean, runWinnow: Boolean,
+      seed: Long): Column =
+    column(SigBundleExpr(expression(tokens), w, k, a, win,
+      runMinhash, runSimhash, runWinnow, seed))
+
+  /** |a ∩ b| of two sorted-distinct long arrays by linear merge (the
+    * shingle-set contract; see SortedIntersectCountExpr). */
+  def nxs_inter_count(a: Column, b: Column): Column =
+    column(SortedIntersectCountExpr(expression(a), expression(b)))
+
+  /** Exact Jaccard of two sorted-distinct long arrays, one merge pass. */
+  def nxs_jaccard(a: Column, b: Column): Column =
+    column(SortedJaccardExpr(expression(a), expression(b)))
+
+  /** Unordered member pairs of a bounded bucket (BoundedBucketAgg members). */
+  def bucket_pairs(members: Column): Column =
+    column(BucketPairsExpr(expression(members)))
+
   def nxs_winnow(tokens: Column, a: Int = 40, win: Int = 21,
       seed: Long = 42L): Column =
     column(WinnowExpr(expression(tokens), a, win, seed))
