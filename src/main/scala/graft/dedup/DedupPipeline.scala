@@ -64,6 +64,16 @@ final case class DedupConfig(
     normalizeUrls: Boolean = false) {
   require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal k")
   require(smallCap >= 2, "smallCap must allow at least one pair")
+
+  /** Version token of the URL-normalization ALGORITHM for checkpoint /
+    * store fingerprints — the algorithm is part of doc identity (doc_id =
+    * xxhash64(url)), so its rule revision must invalidate resumable state
+    * keyed on the old rules. ONE definition shared by IncrementalDedup's
+    * CONFIG pin and DedupRunner's stage fingerprints so they can never
+    * drift: r6 added §6.2.2.2 pct-decoding + userinfo case retention
+    * ("v2"); a store/checkpoint built without normalization is untouched
+    * by the algorithm and keeps "false". */
+  def urlNormToken: String = if (normalizeUrls) "v2" else "false"
 }
 
 /** Materialization point for iterative/reused relations. Durable when the
@@ -240,45 +250,47 @@ object DedupPipeline {
   /** Exact pairs in small buckets, star edges in hot ones, over any
     * (doc_id, pass, bucket_key) relation; buckets of `alwaysStarPass` (-1
     * for none) are pure star regardless of size. Shared by the dedup passes
-    * and the ANN bucket join. */
+    * and the ANN bucket join.
+    *
+    * r7: the same ONE-bounded-aggregate shuffle as edgesRaw — buckets
+    * within the cap carry complete membership in the aggregate and
+    * enumerate their pairs (or, for `alwaysStarPass`, their star edges) in
+    * place, so the checkpoint of the bucket relation, the stats join and
+    * the small-bucket self-join are all gone. Only over-cap buckets join
+    * back to a re-evaluated `bucketedRel` for their star edges (AQE
+    * broadcasts the runtime-small key set, and collapses the join — and
+    * with it the re-evaluation — when no bucket is over cap). Callers
+    * whose bucket stream is expensive to re-evaluate materialize it first
+    * (IncrementalDedup.deltaEdges does). Pair SET identical to the
+    * self-join form: complete-membership enumeration vs bucket self-join
+    * produce the same unordered pairs, and both dedup across buckets. */
   private[graft] def pairsFromBuckets(bucketedRel: DataFrame, smallCap: Int,
-      alwaysStarPass: Int,
-      releasables: scala.collection.mutable.Buffer[DataFrame] =
-        scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
-    // The bucketed relation feeds the stats aggregation and two joins back;
-    // without materialization each consumer recomputes the explode + key
-    // hashing from the signatures cache (the aggregation exchange carries
-    // partial-agg rows, so ReuseExchange can't unify them). One
-    // materialization = one pass. Joins against stats are AQE-planned:
-    // broadcast when small, skew-split sort-merge when a hot bucket
-    // inflates a partition. The checkpoint stays referenced by the RETURNED
-    // lineage — callers that loop (incremental ingest) pass `releasables`
-    // and release once their consumer materializes.
-    val b = Materialize(bucketedRel)
-    releasables += b
-    val stats = b.groupBy("pass", "bucket_key")
-      .agg(min("doc_id").as("mn"), count(lit(1)).as("sz"))
+      alwaysStarPass: Int): DataFrame = {
+    val agg = bucketedRel
+      .groupBy("pass", "bucket_key")
+      .agg(bounded_bucket(col("doc_id"), lit(null).cast("long"), smallCap).as("g"))
+      .select(col("pass"), col("bucket_key"), col("g.sz").as("sz"),
+        col("g.mn").as("mn"), col("g.members").as("members"))
       .where(col("sz") > 1)
-    val pairKeys = Seq("pass", "bucket_key")
-    val smallKeys = stats
-      .where(col("sz") <= smallCap && col("pass") =!= alwaysStarPass)
-      .select("pass", "bucket_key")
-    val bs = b.join(smallKeys, pairKeys)
-    val smallPairs = bs.as("x")
-      .join(bs.as("y"),
-        col("x.pass") === col("y.pass") &&
-          col("x.bucket_key") === col("y.bucket_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.pass").as("pass"),
-        col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    val starEdges = b
-      .join(stats.where(col("sz") > smallCap || col("pass") === alwaysStarPass),
-        pairKeys)
+    val small = agg.where(col("sz") <= smallCap)
+    val smallPairs = small.where(col("pass") =!= alwaysStarPass)
+      .select(col("pass"), explode(bucket_pairs(col("members"))).as("p"))
+      .select(col("pass"),
+        least(col("p.a"), col("p.b")).as("src"),
+        greatest(col("p.a"), col("p.b")).as("dst"))
+    val smallStars = small.where(col("pass") === alwaysStarPass)
+      .select(col("pass"), col("mn").as("src"), explode(col("members")).as("m"))
+      .where(col("m.doc_id") =!= col("src"))
+      .select(col("pass"), col("src"), col("m.doc_id").as("dst"))
+    val bigKeys = agg.where(col("sz") > smallCap)
+      .select("pass", "bucket_key", "mn")
+    val bigStars = bucketedRel
+      .join(bigKeys, Seq("pass", "bucket_key"))
       .where(col("doc_id") =!= col("mn"))
       .select(col("pass"), col("mn").as("src"), col("doc_id").as("dst"))
     // The same (pass, src, dst) can emerge from several buckets — dedup once
     // before the (wide-array) verify join.
-    smallPairs.unionByName(starEdges).distinct()
+    smallPairs.unionByName(smallStars).unionByName(bigStars).distinct()
   }
 
   /** Per-pass bucket-population diagnostics: buckets, members, over-cap

@@ -18,7 +18,10 @@ object DedupRunner {
       s"win${cfg.winnowWindow}s${cfg.seed}cap${cfg.smallCap}" +
       s"bc${cfg.broadcastOverCapKeys}" +
       s"m${cfg.runMinhash}sh${cfg.runSimhash}wn${cfg.runWinnow}" +
-      s"un${cfg.normalizeUrls}"
+      // ALGORITHM-versioned (shared token with IncrementalDedup's CONFIG
+      // pin): a pre-r6 StageStore root built with --normalize-urls must
+      // RECOMPUTE under the r6 pct rules, not resume r5-rule signatures.
+      s"un${cfg.urlNormToken}"
 
   /** pages → clusters, checkpointed under `ckptRoot`. */
   def run(pages: DataFrame, cfg: DedupConfig, ckptRoot: String): DataFrame = {

@@ -98,8 +98,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
       // so a store whose sigs were keyed under the r5 rules must fail the
       // pin loudly (old 'un=true') instead of silently minting different
       // doc_ids for pages it already holds. un=false stores are untouched
-      // by the algorithm and keep their fingerprint.
-      s"un=${if (normalizeUrls) "v2" else "false"}"
+      // by the algorithm and keep their fingerprint. ONE shared token
+      // definition with DedupRunner.fingerprint (DedupConfig.urlNormToken).
+      s"un=$urlNormToken"
   }
 
   private def batchesPath = Paths.get(root, "BATCHES")
@@ -474,9 +475,14 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val touched = prunedStoredBuckets(priorIds, touchedPts)
       .join(bNew.select("pass", "bucket_key").distinct(),
         Seq("pass", "bucket_key"), "left_semi")
-    val stream = touched.unionByName(bNew.select("pass", "bucket_key", "doc_id"))
+    // Materialized: pairsFromBuckets' over-cap star join re-evaluates its
+    // input, and this stream's lineage is a full stored-bucket semi-join —
+    // the checkpoint is delta-sized (touched buckets only).
+    val stream = Materialize(
+      touched.unionByName(bNew.select("pass", "bucket_key", "doc_id")))
+    releasables += stream
     val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
-      alwaysStarPass = PassWinnow, releasables = releasables)
+      alwaysStarPass = PassWinnow)
     // keep only pairs that involve a new document — old-old pairs in a
     // touched bucket were found when their docs arrived
     val newIds = sigsNew.select("doc_id")

@@ -56,6 +56,7 @@ object PhaseProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
+    val bwPre = graft.bench.HostControls.bandwidthGBps(math.min(cores, 32))
     val total0 = System.nanoTime()
     val raw = DedupPipeline.signatures(spark.read.parquet(p), cfg)
     val trimmed = raw
@@ -70,6 +71,9 @@ object PhaseProbe {
     Materialize.release(sigs)
     val rows = t("5 resolve+count")(
       DedupPipeline.resolveClusters(docs, comps).count())
-    println(f"[phase] TOTAL ${(System.nanoTime() - total0) / 1e9}%7.2f s  rows=$rows")
+    val totalS = (System.nanoTime() - total0) / 1e9
+    val bwPost = graft.bench.HostControls.bandwidthGBps(math.min(cores, 32))
+    println(f"[phase] TOTAL $totalS%7.2f s  rows=$rows  " +
+      f"bw_pre=$bwPre%.1f bw_post=$bwPost%.1f GB/s")
   }
 }

@@ -61,9 +61,13 @@ object NxsTokenizeExpr {
   // (least-recently-used) config, so a hot config genuinely survives
   // garbage-config churn — a plain HashMap's bucket-order "arbitrary"
   // eviction can land on the hot entry every time.
+  // Values are region-keyed TokenMemo tables (r7): the filter result for a
+  // token is probed by (text, start, end) without materializing the
+  // substring, so the memo-HIT path — the vast majority under Zipfian
+  // token frequencies — allocates nothing (the per-token substring garbage
+  // previously made GC the dominant cost of the signature scan).
   private val memo = ThreadLocal.withInitial(() =>
-    new java.util.LinkedHashMap[PipelineConfig,
-      java.util.HashMap[String, AnyRef]](16, 0.75f, true))
+    new java.util.LinkedHashMap[PipelineConfig, TokenMemo](16, 0.75f, true))
 
   /** Static entry used by both interpreted eval and codegen. */
   def tokenize(text: UTF8String, lang: UTF8String, filtersCsv: String,
@@ -81,7 +85,6 @@ object NxsTokenizeExpr {
         cfgCache.computeIfAbsent(key, mkCfg)
       }
     }
-    val segs = graft.text.Tokenizer.segments(text.toString, cfg.lang)
     val m = {
       val byCfg = memo.get()
       var inner = byCfg.get(cfg)
@@ -96,27 +99,48 @@ object NxsTokenizeExpr {
           val it = byCfg.entrySet().iterator()
           if (it.hasNext) { it.next(); it.remove() }
         }
-        inner = new java.util.HashMap[String, AnyRef]()
+        inner = new TokenMemo(MAX_MEMO)
         byCfg.put(cfg, inner)
       }
       inner
     }
-    val out = new Array[Any](segs.length)
+    // Drive the ICU boundary iteration directly (same segmentation as
+    // Tokenizer.segments — UBRK_WORD, skip rule status WORD_NONE,
+    // tokenizer.c:280-282) and probe the memo by REGION: a memo hit never
+    // materializes the segment substring.
+    val s = text.toString
+    val it = graft.text.Tokenizer.wordIterator(cfg.lang)
+    it.setText(s)
+    var out = new Array[Any](32)
     var n = 0
-    var i = 0
-    while (i < segs.length) {
-      val seg = segs(i)
-      var v = m.get(seg)
-      if (v == null) {
-        v = TextPipeline.filterToken(seg, cfg) match {
-          case Some(t) => UTF8String.fromString(t)
-          case None => DROPPED
+    var start = it.first()
+    var end = it.next()
+    while (end != com.ibm.icu.text.BreakIterator.DONE) {
+      if (it.getRuleStatus != com.ibm.icu.text.BreakIterator.WORD_NONE) {
+        var h = 0
+        var j = start
+        while (j < end) { h = 31 * h + s.charAt(j); j += 1 }
+        var v = m.get(s, start, end, h)
+        if (v == null) {
+          val seg = s.substring(start, end)
+          v = TextPipeline.filterToken(seg, cfg) match {
+            case Some(t) => UTF8String.fromString(t)
+            case None => DROPPED
+          }
+          m.put(seg, v)
         }
-        if (m.size >= MAX_MEMO) m.clear()
-        m.put(seg, v)
+        if (v ne DROPPED) {
+          if (n == out.length) {
+            val t = new Array[Any](n * 2)
+            System.arraycopy(out, 0, t, 0, n)
+            out = t
+          }
+          out(n) = v
+          n += 1
+        }
       }
-      if (v ne DROPPED) { out(n) = v; n += 1 }
-      i += 1
+      start = end
+      end = it.next()
     }
     new GenericArrayData(
       if (n == out.length) out

@@ -768,14 +768,22 @@ object RelationalOps {
 
   val queryTerms: Seq[String] = Seq("spark", "hash", "join")
 
+  /** The postings relation materialized ONCE for a multi-consumer query
+    * plan (r7): Spark plans each subtree reference independently, so
+    * tfidf/bm25/searchBool used to re-run the full explode + aggregate per
+    * consumer (bm25: 4 passes + the scalar collects). A local checkpoint
+    * makes every consumer a block read. Blocks are persistent RDDs, so the
+    * bench's scoped inter-run clears (and any caller's catalog clear)
+    * release them — the long-lived-cache concern that kept these entry
+    * points uncached applies to `.cache()` lifetime, not to a per-call
+    * checkpoint whose consumers are drained within the query. */
+  private def materializedPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Materialize(splitPostings(spark, dir))
+
   /** TF-IDF (ranking.c:90-91 formulas) for the fixed query term set, summed
-    * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB.
-    * The postings relation is deliberately NOT cached here: these
-    * query-shaped entry points are called across a 24-query verification
-    * run and a leaked cache outlives its query (a production deployment
-    * queries a persisted IndexStore table instead of recomputing). */
+    * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val post = splitPostings(spark, dir)
+    val post = materializedPostings(spark, dir)
     val n = documents(spark, dir).count()
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
     post.where(col("term").isin(queryTerms: _*))
@@ -787,7 +795,7 @@ object RelationalOps {
 
   /** BM25 (ranking.c:99-176: k=1.2 b=0.75, integer adl division). */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val post = splitPostings(spark, dir)
+    val post = materializedPostings(spark, dir)
     val n = documents(spark, dir).count()
     val tokenCount = post.agg(sum("cnt")).collect()(0).getLong(0)
     val adl = (tokenCount / n).toDouble // integer division, ranking.c:163
@@ -805,9 +813,9 @@ object RelationalOps {
 
   /** Boolean query `spark AND (hash OR join) AND NOT slow` as semi/anti
     * joins — the reference's bitmap algebra (search.c:118-174) in
-    * relational form. */
+    * relational form. Four consumers of one materialized postings pass. */
   def searchBool(spark: SparkSession, dir: String): DataFrame = {
-    val post = splitPostings(spark, dir)
+    val post = materializedPostings(spark, dir)
     def docsWith(t: String) = post.where(col("term") === t).select("doc_id")
     docsWith("spark")
       // no distinct on the OR union: left-semi semantics ignore right-side

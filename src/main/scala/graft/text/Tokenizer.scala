@@ -24,11 +24,26 @@ object Tokenizer {
     val cache = iterators.get()
     var it = cache.get(lang)
     if (it == null) {
+      // `lang` is untrusted corpus data: clear-on-full bounds the per-thread
+      // map under garbage-cardinality lang columns (same discipline as every
+      // other per-row cache — cfgCache, memo, planeCache); real langs
+      // re-enter on their next row.
+      if (cache.size >= MaxCachedLangs) cache.clear()
       it = BreakIterator.getWordInstance(new ULocale(lang))
       cache.put(lang, it)
     }
     it
   }
+
+  private val MaxCachedLangs = 64
+
+  /** The per-thread word iterator for `lang` — exposed so the expression
+    * hot path (NxsTokenizeExpr) can drive boundary iteration directly and
+    * memoize filter results by (text, start, end) REGION instead of
+    * allocating one substring per token (the dominant allocation of the
+    * signature scan). Thread-local; callers must not retain it. */
+  private[graft] def wordIterator(lang: String): RuleBasedBreakIterator =
+    iteratorFor(lang).asInstanceOf[RuleBasedBreakIterator]
 
   /** Raw word segments (pre-filter), in document order, duplicates kept. */
   def segments(text: String, lang: String): Array[String] = {

@@ -299,6 +299,18 @@ class DedupRunnerSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("fingerprint versions the url-normalization ALGORITHM, not just " +
+    "the boolean (shared un token with the incremental store pin)") {
+    val off = DedupRunner.fingerprint(DedupConfig(normalizeUrls = false))
+    val on = DedupRunner.fingerprint(DedupConfig(normalizeUrls = true))
+    // un=false stores keep their fingerprint; normalized ones carry the
+    // algorithm version — a pre-r6 root written as 'untrue' can never
+    // match, so it recomputes instead of resuming r5-rule signatures
+    assert(off.endsWith("unfalse"))
+    assert(on.endsWith("unv2") && !on.contains("untrue"))
+    assert(DedupConfig(normalizeUrls = true).urlNormToken == "v2")
+  }
+
   test("config change invalidates downstream stages (fingerprint lineage)") {
     val root = java.nio.file.Files.createTempDirectory("dedup_run3").toString
     val pages = SyntheticCorpus.pages(spark, corpusCfg)
