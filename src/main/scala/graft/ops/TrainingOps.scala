@@ -778,7 +778,9 @@ object RelationalOps {
     * points uncached applies to `.cache()` lifetime, not to a per-call
     * checkpoint whose consumers are drained within the query. */
   private def materializedPostings(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.Materialize(splitPostings(spark, dir))
+    // lazy: the first consumer's job materializes the blocks (no separate
+    // serial checkpoint job ahead of the scalar collects)
+    graft.dedup.Materialize(splitPostings(spark, dir), eager = false)
 
   /** TF-IDF (ranking.c:90-91 formulas) for the fixed query term set, summed
     * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB. */

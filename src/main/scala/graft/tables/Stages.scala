@@ -122,12 +122,27 @@ final class StageStore(val spark: SparkSession, val root: String) {
           df.limit(0).write.mode(SaveMode.Overwrite).parquet(dataDir(name))
       }
       val committed = spark.read.parquet(dataDir(name))
-      val rows = committed.count()
-      val durMs = (System.nanoTime() - t0) / 1e6
-      // per-partition metrics (lineage + skew visibility at scale)
-      val metrics = committed
+      // ONE post-write read serves both the manifest row count and the
+      // per-partition metrics (r7: this used to be two full re-reads of
+      // the stage output — a count() plus a separate metrics aggregate
+      // whose Append write re-scanned the data; ~2 extra corpus reads per
+      // stage, on every stage of every index build / incremental batch).
+      // The per-partition counts are tiny (≤ scan partitions), so they
+      // collect and the metrics table is written driver-side.
+      val perPart = committed
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows"))
+        .collect()
+      val rows = perPart.map(_.getLong(1)).sum
+      val durMs = (System.nanoTime() - t0) / 1e6
+      // per-partition metrics (lineage + skew visibility at scale)
+      val metrics = spark.createDataFrame(
+        spark.sparkContext.parallelize(perPart.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("rows",
+            org.apache.spark.sql.types.LongType))))
         .withColumn("stage", lit(name))
         .withColumn("run_fingerprint", lit(fingerprint))
       metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
