@@ -317,6 +317,14 @@ object MultimodalOps {
     // (candidate generation + two join-backs), and each reference would
     // otherwise re-run the FULL container decode of every blob — the
     // dominant cost at corpus scale. One decode pass, three block reads.
+    //
+    // LIFETIME CONTRACT (ADVICE r6): the checkpoint blocks back the
+    // RETURNED lineage, so they live until the session's next cache clear
+    // (spark.catalog.clearCache / unpersisting persistent RDDs — what the
+    // bench's scoped clears do). A long-lived session calling this in a
+    // loop should drain each result and clear between calls; an
+    // auto-released variant would have to eagerly collect bounded output,
+    // which this op's (corpus-scale) pair relation cannot assume.
     val hashes = graft.dedup.Materialize(videoFrameHashes(df, mediaCol)
       .withColumn("fid", xxhash64(col("doc_id"), col("frame_idx"))))
     val cfg = graft.dedup.DedupConfig(runMinhash = false, runWinnow = false,
