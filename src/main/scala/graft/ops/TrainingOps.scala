@@ -768,48 +768,56 @@ object RelationalOps {
 
   val queryTerms: Seq[String] = Seq("spark", "hash", "join")
 
-  /** The postings relation materialized ONCE for a multi-consumer query
-    * plan (r7): Spark plans each subtree reference independently, so
-    * tfidf/bm25/searchBool used to re-run the full explode + aggregate per
-    * consumer (bm25: 4 passes + the scalar collects). A local checkpoint
-    * makes every consumer a block read. Blocks are persistent RDDs, so the
-    * bench's scoped inter-run clears (and any caller's catalog clear)
-    * release them — the long-lived-cache concern that kept these entry
-    * points uncached applies to `.cache()` lifetime, not to a per-call
-    * checkpoint whose consumers are drained within the query. */
+  /** NOTE (r7): a per-call localCheckpoint of the postings relation was
+    * tried here to collapse the multi-consumer re-evaluation (bm25 read
+    * the explode 4-5x) and measured SLOWER at bench scale (~+0.3 s: block
+    * write + read round-trip exceeds the cheap split-explode recompute).
+    * The winning shape keeps the subtrees lazy in ONE job (scalars folded
+    * in as a one-row broadcast, below) so all passes run concurrently. */
   private def materializedPostings(spark: SparkSession, dir: String): DataFrame =
-    // lazy: the first consumer's job materializes the blocks (no separate
-    // serial checkpoint job ahead of the scalar collects)
-    graft.dedup.Materialize(splitPostings(spark, dir), eager = false)
+    splitPostings(spark, dir)
+
+  /** The corpus-global scalars (doc count, token count) as a ONE-ROW
+    * broadcast relation instead of driver collect()s (r7): the collects
+    * forced two serial jobs ahead of the scoring query; as an in-plan
+    * broadcast (the same `CROSS JOIN g` shape the DuckDB oracle uses) the
+    * whole query is ONE job and the lazily-checkpointed postings pass is
+    * shared by every subtree — scalars included. */
+  private def globalsOf(spark: SparkSession, dir: String,
+      post: DataFrame): DataFrame =
+    broadcast(post.agg(sum("cnt").as("tc")).crossJoin(
+      documents(spark, dir).agg(count(lit(1)).as("n"))))
 
   /** TF-IDF (ranking.c:90-91 formulas) for the fixed query term set, summed
     * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val post = materializedPostings(spark, dir)
-    val n = documents(spark, dir).count()
+    val n = documents(spark, dir).agg(count(lit(1)).as("n"))
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
     post.where(col("term").isin(queryTerms: _*))
       .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        log(col("cnt") + 1) * (log(lit(n.toDouble) / col("df")) + 1))
+        log(col("cnt") + 1) * (log(col("n").cast("double") / col("df")) + 1))
       .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
   }
 
   /** BM25 (ranking.c:99-176: k=1.2 b=0.75, integer adl division). */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val post = materializedPostings(spark, dir)
-    val n = documents(spark, dir).count()
-    val tokenCount = post.agg(sum("cnt")).collect()(0).getLong(0)
-    val adl = (tokenCount / n).toDouble // integer division, ranking.c:163
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
     val dls = post.groupBy("doc_id").agg(sum("cnt").as("dl"))
     val tf = log(col("cnt") + 1)
+    // integer adl division, ranking.c:163 — `div` is long division like
+    // the collected-scalar form (tokenCount / n) this replaces
+    val adl = expr("tc div n").cast("double")
     post.where(col("term").isin(queryTerms: _*))
       .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
       .join(dls, "doc_id")
+      .crossJoin(globalsOf(spark, dir, post))
       .withColumn("score",
-        (tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(adl)))) *
-          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        (tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / adl))) *
+          log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1))
       .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
   }
 
