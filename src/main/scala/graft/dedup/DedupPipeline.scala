@@ -209,23 +209,29 @@ object DedupPipeline {
     * materialized them (clustersFromSigs does — 16 longs stored instead of
     * the 128-long sig) and are derived from `sig` otherwise. */
   private def bucketedAux(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    // One explode per family over its PRIMITIVE key array, unioned (r7):
+    // the previous single explode over concat(transform(keys → struct))
+    // allocated one InternalRow per bucket entry (~31/doc) plus the
+    // concatenated struct array per row — measurable allocation in the
+    // pipeline's biggest stage. Generate over a primitive long array is
+    // allocation-free per element; the extra checkpoint block reads (one
+    // per enabled family) are sequential scans the bandwidth easily
+    // absorbs. Row SET is identical (same (doc_id, pass, bucket_key, aux)
+    // tuples; downstream is aggregation, so order is immaterial).
     val nullAux = lit(null).cast("long")
-    def tagged(pass: Int, keys: Column, aux: Column): Column =
-      transform(keys, k =>
-        struct(lit(pass).as("pass"), k.as("bucket_key"), aux.as("aux")))
     val bandArr =
       if (sigs.columns.contains("band_keys")) col("band_keys")
       else bandKeysCol(cfg)
+    def family(pass: Int, keys: Column, aux: Column): DataFrame =
+      sigs.select(col("doc_id"), lit(pass).as("pass"),
+        explode(keys).as("bucket_key"), aux.as("aux"))
     val families = Seq(
-      (cfg.runMinhash, () => tagged(PassMinhash, bandArr, nullAux)),
-      (cfg.runSimhash, () => tagged(PassSimhash, array(blockKeys(cfg): _*), col("simhash"))),
-      (cfg.runWinnow, () => tagged(PassWinnow, col("winnow_fps"), nullAux))
+      (cfg.runMinhash, () => family(PassMinhash, bandArr, nullAux)),
+      (cfg.runSimhash, () => family(PassSimhash, array(blockKeys(cfg): _*), col("simhash"))),
+      (cfg.runWinnow, () => family(PassWinnow, col("winnow_fps"), nullAux))
     ).collect { case (true, f) => f() }
     require(families.nonEmpty, "at least one pass must be enabled")
-    val entries = if (families.size == 1) families.head else concat(families: _*)
-    sigs.select(col("doc_id"), explode(entries).as("e"))
-      .select(col("doc_id"), col("e.pass").as("pass"),
-        col("e.bucket_key").as("bucket_key"), col("e.aux").as("aux"))
+    families.reduce(_ unionByName _)
   }
 
   /** (doc_id, pass, bucket_key) view, for diagnostics. */
