@@ -30,6 +30,65 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Edge-count bound for `runAuto`'s driver fast path: 2 longs/edge ⇒
+    * ≈ 4 MB collected at the bound — noise for the driver heap, while the
+    * distributed path below it costs a dozen-plus scheduled jobs
+    * (adjacency checkpoint, fused rounds, convergence sums). */
+  val SmallEdgeBound: Int = 1 << 18
+
+  /** `run` with a DRIVER fast path for small edge sets: when `edges` holds
+    * at most `smallEdgeBound` rows they collect (≤ ~4 MB) and a union-find
+    * labels them in microseconds — the distributed path costs a dozen-plus
+    * driver-scheduled jobs, which dwarfs the compute for delta-scoped
+    * graphs (the incremental ingest path, whose CC input is O(delta +
+    * touched) by construction). Same output contract as `run`: (id, comp)
+    * for every node appearing in edges, comp = min node id of the
+    * component.
+    *
+    * Callers must pass a MATERIALIZED (or cheap) relation: an over-bound
+    * input pays one extra `limit(bound+1)` evaluation before falling back
+    * to the distributed path. */
+  def runAuto(edges: DataFrame,
+      smallEdgeBound: Int = SmallEdgeBound): DataFrame = {
+    // src =!= dst mirrors `run`'s adjacency filter EXACTLY: a node
+    // appearing only in self-edges is absent from both paths' outputs.
+    val sample = edges.select("src", "dst")
+      .where(col("src") =!= col("dst")).limit(smallEdgeBound + 1).collect()
+    if (sample.length > smallEdgeBound) run(edges)
+    else {
+      // Union-find with path halving; roots resolve to the component's min
+      // node id afterwards (parent choice during union is arbitrary).
+      val parent = new java.util.HashMap[Long, Long](sample.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      sample.foreach { row =>
+        val (s, d) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent.put(math.max(rs, rd), math.min(rs, rd))
+      }
+      val minOf = new java.util.HashMap[Long, Long]()
+      parent.keySet().forEach { id =>
+        val r = find(id)
+        val cur = minOf.getOrDefault(r, Long.MaxValue)
+        if (id < cur) minOf.put(r, id)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        parent.size())
+      parent.keySet().forEach { id => out += ((id, minOf.get(find(id)))) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      spark.createDataset(out.toSeq).toDF("id", "comp")
+    }
+  }
+
   /** @param edges DataFrame with (src: long, dst: long)
     * @param fuse propagation rounds executed per Spark job (per driver
     *        barrier). Star-edge generation bounds component diameter at a

@@ -65,9 +65,15 @@ object IncProbe {
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300)
     println(f"[incprobe] total=$total%.2f s  labelrows=$rows  jobs=${jobs.size}")
-    jobs.sortBy(-_.ms).take(25).foreach { j =>
+    jobs.sortBy(-_.ms).take(30).foreach { j =>
       println(f"[incjob] ${j.ms}%6d ms  id=${j.id}%-4d ${j.desc.take(110)}")
     }
+    // roll-up by the setJobDescription phase label (text before " | ")
+    jobs.groupBy(_.desc.split(" \\| ").head).toSeq
+      .map { case (d, js) => (js.map(_.ms).sum, js.size, d) }
+      .sortBy(-_._1).foreach { case (ms, n, d) =>
+        println(f"[incphase] $ms%6d ms  n=$n%-3d ${d.take(90)}")
+      }
     println(f"[incprobe] job-ms-sum=${jobs.map(_.ms).sum}")
   }
 }

@@ -87,6 +87,19 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   require(bucketParts > 0, "bucketParts must be positive")
 
   private val store = new StageStore(spark, root)
+
+  // Partitioned-stage reads (buckets_* has `bucketParts` hive dirs) launch
+  // a DISTRIBUTED listing job whenever the path count exceeds Spark's
+  // parallel-discovery threshold (default 32) — measured ~120 ms of job
+  // overhead per stage read on a local FS where a driver-side listing of
+  // 64 dirs takes single-digit ms. Lift the threshold so bounded fan-outs
+  // list driver-side; genuinely wide stores (e.g. bucketParts=4096 on an
+  // object store) stay on the distributed listing, and an explicit user
+  // setting is never overridden.
+  locally {
+    val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if (spark.conf.get(k, "32") == "32") spark.conf.set(k, "128")
+  }
   private val cfgFp = {
     import cfg._
     s"w=$shingleW|k=$minhashK|b=$bands|r=$rowsPerBand|tau=$tau|d=$simhashMaxHamming|" +
@@ -207,7 +220,9 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * bloat — still row-pruned before any wide column ships). */
   private def keyFiltered(df: DataFrame, keyCol: String,
       keys: DataFrame): DataFrame = {
-    val sample = keys.limit(maxSigIdPushdown + 1).collect()
+    val sample = graft.tables.JobLabel(spark, s"inc:keyprobe:$keyCol") {
+      keys.limit(maxSigIdPushdown + 1).collect()
+    }
     if (sample.length <= maxSigIdPushdown)
       df.where(col(keyCol).isin(sample.map(_.getLong(0)): _*))
     else {
@@ -379,20 +394,31 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         ConnectedComponents.run(DedupPipeline.edgesRaw(sigsNew, cfg))
           .select(col("id"), col("comp"))
       else {
-        val newEdges = Materialize(
-          deltaEdges(prior, sigsNew, bucketsNew, releasables)
-            .select("src", "dst"))
-        releasables += newEdges
+        val newEdges = graft.tables.JobLabel(spark, "inc:deltaEdges") {
+          val e = Materialize(
+            deltaEdges(prior, sigsNew, bucketsNew, releasables)
+              .select("src", "dst"))
+          releasables += e
+          e
+        }
         // Eagerly materialize the (delta-sized) CC input: CC's adjacency is
         // a LAZY checkpoint, so its first fused job evaluates the input
         // subtree once per reference (2-3×) before the blocks exist —
         // measured as repeated full label-store scans per batch. One tiny
         // eager checkpoint makes those references block reads.
-        val ccInput = Materialize(
-          relabelInputs(readLabels(prior), newEdges, releasables))
-        releasables += ccInput
-        val out = ConnectedComponents.run(ccInput)
-          .select(col("id"), col("comp"))
+        val ccInput = graft.tables.JobLabel(spark, "inc:relabelInputs") {
+          val c = Materialize(
+            relabelInputs(readLabels(prior), newEdges, releasables))
+          releasables += c
+          c
+        }
+        // runAuto: ccInput is delta-scoped AND materialized (blocks), so
+        // the small-graph probe is a cheap block read and a small batch's
+        // CC runs as a driver union-find instead of a dozen-plus scheduled
+        // jobs; a crawl-sized batch falls back to the distributed rounds.
+        val out = graft.tables.JobLabel(spark, "inc:cc") {
+          ConnectedComponents.runAuto(ccInput)
+        }.select(col("id"), col("comp"))
         out
       }
     }
@@ -470,46 +496,99 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
     // The touched partition set is at most bucketParts values — a driver
     // scalar derived from the (delta-sized) new bucket stage.
-    val touchedPts = bNew.select("bpt").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val touchedPts = graft.tables.JobLabel(spark, "inc:touchedPts") {
+      bNew.select("bpt").distinct().collect().map(_.getInt(0)).toSeq
+    }
+    // The new-key set materializes ONCE before the semi-join: Catalyst
+    // pushes the semi-join below the stored-stage union, so an inline
+    // aggregate subtree would be re-planned (scan + exchange + aggregate +
+    // broadcast build) once PER STORED STAGE branch; as checkpoint blocks
+    // the per-branch build is a block read and exchange reuse can kick in.
+    val newKeys = graft.tables.JobLabel(spark, "inc:newKeys") {
+      Materialize(bNew.select("pass", "bucket_key").distinct())
+    }
+    releasables += newKeys
     val touched = prunedStoredBuckets(priorIds, touchedPts)
-      .join(bNew.select("pass", "bucket_key").distinct(),
-        Seq("pass", "bucket_key"), "left_semi")
+      .join(newKeys, Seq("pass", "bucket_key"), "left_semi")
     // Materialized: pairsFromBuckets' over-cap star join re-evaluates its
     // input, and this stream's lineage is a full stored-bucket semi-join —
     // the checkpoint is delta-sized (touched buckets only).
-    val stream = Materialize(
-      touched.unionByName(bNew.select("pass", "bucket_key", "doc_id")))
+    val stream = graft.tables.JobLabel(spark, "inc:touchedBuckets") {
+      Materialize(
+        touched.unionByName(bNew.select("pass", "bucket_key", "doc_id")))
+    }
     releasables += stream
     val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
       alwaysStarPass = PassWinnow)
     // keep only pairs that involve a new document — old-old pairs in a
-    // touched bucket were found when their docs arrived
+    // touched bucket were found when their docs arrived. Small deltas
+    // (≤ maxSigIdPushdown ids) filter with ONE codegen'd IN predicate —
+    // the enumeration subtree evaluates once and the pairs are already
+    // distinct; large deltas materialize the enumeration first and keep
+    // the two-sided broadcast-semi shape (r7: the un-materialized form
+    // ran the bounded-agg + over-cap join subtree TWICE, once per
+    // semi-join branch — measured as the second-largest phase of a delta
+    // ingest).
     val newIds = sigsNew.select("doc_id")
-    val candDelta = Materialize(cand
-      .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
-        Seq("src"), "left_semi")
-      .unionByName(cand
-        .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
-          Seq("dst"), "left_semi"))
-      .distinct())
+    val newIdSample = graft.tables.JobLabel(spark, "inc:newIdProbe") {
+      newIds.limit(maxSigIdPushdown + 1).collect()
+    }
+    val candDelta = graft.tables.JobLabel(spark, "inc:candDelta") {
+      if (newIdSample.length <= maxSigIdPushdown) {
+        val ids = newIdSample.map(_.getLong(0))
+        Materialize(cand.where(
+          col("src").isin(ids: _*) || col("dst").isin(ids: _*)))
+      } else {
+        val candM = Materialize(cand)
+        releasables += candM
+        Materialize(candM
+          .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
+            Seq("src"), "left_semi")
+          .unionByName(candM
+            .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
+              Seq("dst"), "left_semi"))
+          .distinct())
+      }
+    }
     releasables += candDelta
     // Stored signatures are read ONLY for the candidates' old endpoints —
-    // a candidate-bounded doc_id set, pushed into the sigs scans.
-    val oldEndpoints = candDelta.select(col("src").as("doc_id"))
-      .unionByName(candDelta.select(col("dst").as("doc_id")))
+    // a candidate-bounded doc_id set, pushed into the sigs scans — and
+    // PER VERIFY FAMILY (r7): the endpoint population is dominated by the
+    // SimHash pigeonhole blocks (16-bit keys collide by construction —
+    // measured ~17k old endpoints per ~1k-page delta, past any IN-pushdown
+    // cap, which forced the fallback semi-join to stream the ENTIRE wide
+    // sigs store per batch), but those pairs only need the 8-byte
+    // fingerprint — a narrow column-pruned scan. The few MinHash-pass
+    // endpoints (real near-dup collisions only, typically well under the
+    // pushdown cap) are the only readers of the wide shingle arrays, and
+    // their small key set prunes at rest. Each family's relation is
+    // candidate-bounded and materialized once (the verify joins reference
+    // it twice — src and dst side).
+    def oldEndpointsOf(c: DataFrame) = c.select(col("src").as("doc_id"))
+      .unionByName(c.select(col("dst").as("doc_id")))
       .distinct()
       .join(newIds, Seq("doc_id"), "left_anti")
-    val allSigs = readSigsFor(priorIds, oldEndpoints).unionByName(sigsNew)
+    def endpointSigs(c: DataFrame, label: String, cols: String*): DataFrame =
+      graft.tables.JobLabel(spark, s"inc:endpointSigs:$label") {
+        val m = Materialize(readSigsFor(priorIds, oldEndpointsOf(c))
+          .select(cols.head, cols.tail: _*)
+          .unionByName(sigsNew.select(cols.head, cols.tail: _*)))
+        releasables += m
+        m
+      }
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    if (cfg.runMinhash)
-      parts += DedupPipeline.verifyJaccard(
-        candDelta.where(col("pass") === PassMinhash).select("src", "dst"),
-        allSigs, cfg).select("src", "dst")
-    if (cfg.runSimhash) {
-      val fp = allSigs.select(col("doc_id"), col("simhash"))
-      parts += candDelta.where(col("pass") === PassSimhash)
+    if (cfg.runMinhash) {
+      val mhCand = candDelta.where(col("pass") === PassMinhash)
         .select("src", "dst")
+      parts += DedupPipeline.verifyJaccard(mhCand,
+        endpointSigs(mhCand, "minhash", "doc_id", "shingles"), cfg)
+        .select("src", "dst")
+    }
+    if (cfg.runSimhash) {
+      val shCand = candDelta.where(col("pass") === PassSimhash)
+        .select("src", "dst")
+      val fp = endpointSigs(shCand, "simhash", "doc_id", "simhash")
+      parts += shCand
         .join(fp.select(col("doc_id").as("src"), col("simhash").as("fp_a")), "src")
         .join(fp.select(col("doc_id").as("dst"), col("simhash").as("fp_b")), "dst")
         .where(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= cfg.simhashMaxHamming)

@@ -24,6 +24,19 @@ import java.nio.charset.StandardCharsets
  * Swapping this for a real Iceberg catalog is a config change: `runStage`
  * maps to `writeTo(...).createOrReplace()` + snapshot lookup.
  */
+/** Scoped Spark job-description labels (guide: label your jobs). The
+  * description is a driver thread-local that SQL broadcast futures capture,
+  * so every job a block launches — including broadcast builds — carries the
+  * label; restored on exit so callers' labels survive nesting. */
+object JobLabel {
+  def apply[T](spark: SparkSession, label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+}
+
 final class StageStore(val spark: SparkSession, val root: String) {
 
   private def dir(name: String) = s"$root/$name"
@@ -100,7 +113,7 @@ final class StageStore(val spark: SparkSession, val root: String) {
     val fingerprint = fingerprintFor(configFingerprint, inputs)
     if (isCommitted(name, fingerprint)) {
       spark.read.parquet(dataDir(name))
-    } else {
+    } else JobLabel(spark, s"stage:$name") {
       val t0 = System.nanoTime()
       val df0 = compute
       val df =
@@ -109,17 +122,19 @@ final class StageStore(val spark: SparkSession, val root: String) {
       def writer = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-      if (partitionCols.isEmpty)
-        writer.parquet(dataDir(name))
-      else {
-        writer.partitionBy(partitionCols: _*).parquet(dataDir(name))
-        val anyFile = {
-          val s = Files.walk(Paths.get(dataDir(name)))
-          try s.anyMatch(p => p.toString.endsWith(".parquet"))
-          finally s.close()
+      JobLabel(spark, s"stage:$name:write") {
+        if (partitionCols.isEmpty)
+          writer.parquet(dataDir(name))
+        else {
+          writer.partitionBy(partitionCols: _*).parquet(dataDir(name))
+          val anyFile = {
+            val s = Files.walk(Paths.get(dataDir(name)))
+            try s.anyMatch(p => p.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+          if (!anyFile)
+            df.limit(0).write.mode(SaveMode.Overwrite).parquet(dataDir(name))
         }
-        if (!anyFile)
-          df.limit(0).write.mode(SaveMode.Overwrite).parquet(dataDir(name))
       }
       val committed = spark.read.parquet(dataDir(name))
       // ONE post-write read serves both the manifest row count and the
@@ -129,10 +144,12 @@ final class StageStore(val spark: SparkSession, val root: String) {
       // stage, on every stage of every index build / incremental batch).
       // The per-partition counts are tiny (≤ scan partitions), so they
       // collect and the metrics table is written driver-side.
-      val perPart = committed
-        .groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .collect()
+      val perPart = JobLabel(spark, s"stage:$name:postread") {
+        committed
+          .groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("rows"))
+          .collect()
+      }
       val rows = perPart.map(_.getLong(1)).sum
       val durMs = (System.nanoTime() - t0) / 1e6
       // per-partition metrics (lineage + skew visibility at scale)
@@ -145,7 +162,9 @@ final class StageStore(val spark: SparkSession, val root: String) {
             org.apache.spark.sql.types.LongType))))
         .withColumn("stage", lit(name))
         .withColumn("run_fingerprint", lit(fingerprint))
-      metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+      JobLabel(spark, s"stage:$name:metrics") {
+        metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+      }
       writeManifest(name, Map(
         "stage" -> name,
         "fingerprint" -> fingerprint,

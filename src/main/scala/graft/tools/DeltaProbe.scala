@@ -119,6 +119,14 @@ object DeltaProbe {
             println(d.linesIterator.take(40).mkString("\n"))
           }
         }
+        // heaviest stages by task time: plan head of their SQL execution
+        stages.sortBy(-_.taskMs).take(3).foreach { s =>
+          println(f"  === stage ${s.id} task=${s.taskMs / 1e3}%.1fs " +
+            f"exec=${stageToExec.get(s.id)} plan:")
+          stageToExec.get(s.id).flatMap(execDesc.get).foreach { d =>
+            println(d.linesIterator.take(25).mkString("\n"))
+          }
+        }
       }
     }
     spark.stop()
