@@ -333,13 +333,22 @@ object DedupPipeline {
     // Only the rare over-cap buckets (mass-duplicate content) join back to
     // a recomputed bucket stream for their star edges; AQE broadcasts that
     // tiny key set (and collapses the join entirely when it is empty).
-    val agg = bucketedAux(sigs, cfg)
+    //
+    // The aggregate OUTPUT is materialized (r7): it feeds three consumers
+    // (small-pair branch, small-star branch, the over-cap key broadcast),
+    // and exchange reuse shares only the MAP side — each consumer stage
+    // re-ran the 500 MB merge-aggregate (measured 60-85 core-s per extra
+    // merge at 699k docs). The post-filter output (sz > 1 buckets only,
+    // singleton majority gone) is a fraction of the shuffle size, so one
+    // merge + block reads wins; released as soon as the candidate set —
+    // its only consumer — is materialized.
+    val agg = Materialize(bucketedAux(sigs, cfg)
       .groupBy("pass", "bucket_key")
       .agg(bounded_bucket(col("doc_id"), col("aux"), cfg.smallCap).as("g"))
       .select(col("pass"), col("bucket_key"), col("g.sz").as("sz"),
         col("g.mn").as("mn"), col("g.mn_aux").as("mn_aux"),
         col("g.members").as("members"))
-      .where(col("sz") > 1)
+      .where(col("sz") > 1))
     val small = agg.where(col("sz") <= cfg.smallCap)
     // all unordered member pairs of a complete small bucket, canonicalized
     // src < dst (collection order is nondeterministic). One tight loop per
@@ -377,6 +386,7 @@ object DedupPipeline {
     // Pairs are ~20 bytes each — this is the small relation of the job.
     val cand = Materialize(
       smallPairs.unionByName(smallStars).unionByName(bigStars).distinct())
+    Materialize.release(agg) // cand was its only consumer
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (cfg.runMinhash)
       parts += verifyJaccard(cand.where(col("pass") === PassMinhash)
