@@ -36,9 +36,10 @@ object TrainingOps {
 
   /** The same whitespace token stream as an ARRAY column — one definition
     * for every op whose DuckDB oracle re-derives it via
-    * string_split + list_filter (repetitionStats, decontaminate): the
-    * split must stay byte-identical across them and their oracles. */
-  private def wsTokens: Column =
+    * string_split + list_filter (repetitionStats, decontaminate, the
+    * fixed-query scoring ops): the split must stay byte-identical across
+    * them and their oracles. */
+  private[ops] def wsTokens: Column =
     filter(split(lower(col("text")), " "), t => t =!= "")
 
   // ---- dedup family ----
@@ -768,71 +769,91 @@ object RelationalOps {
 
   val queryTerms: Seq[String] = Seq("spark", "hash", "join")
 
-  /** NOTE (r7): a per-call localCheckpoint of the postings relation was
-    * tried here to collapse the multi-consumer re-evaluation (bm25 read
-    * the explode 4-5x) and measured SLOWER at bench scale (~+0.3 s: block
-    * write + read round-trip exceeds the cheap split-explode recompute).
-    * The winning shape keeps the subtrees lazy in ONE job (scalars folded
-    * in as a one-row broadcast, below) so all passes run concurrently. */
-  private def materializedPostings(spark: SparkSession, dir: String): DataFrame =
-    splitPostings(spark, dir)
+  /** One NARROW pass for the fixed-query scoring ops (r7): per doc, the
+    * token count (dl) and the occurrence count of each query term — array
+    * kernels (`size(filter(tokens, = t))`) over the shared ws-token split,
+    * all codegen. The previous shape exploded the WHOLE token stream into
+    * per-(doc, term) rows and re-aggregated that explode once per
+    * consumer (df / dl / tc / term-filtered postings = four explode +
+    * aggregate passes per call, concurrent but each corpus-sized) only to
+    * keep 3 terms — at scale the explode multiplies the scanned rows by
+    * the average document length for nothing (guide: don't compute what
+    * you throw away). Values are IDENTICAL by construction — cnt(t) =
+    * size(filter(tokens, = t)) is the per-(doc, t) posting count, dl =
+    * size(tokens) = Σ cnt, df(t) = #docs with cnt(t) > 0, tc = Σ dl — and
+    * re-verified against the unchanged DuckDB oracle SQL. NULL text ⇒
+    * empty tokens (no counts), exactly like the explode that emitted no
+    * rows for it. */
+  private def termCounts(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        coalesce(TrainingOps.wsTokens, array()).as("_toks"))
+      .select(col("doc_id") +: size(col("_toks")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("_toks"), x => x === lit(t))).as(s"_c$i")
+        }: _*)
 
-  /** The corpus-global scalars (doc count, token count) as a ONE-ROW
-    * broadcast relation instead of driver collect()s (r7): the collects
-    * forced two serial jobs ahead of the scoring query; as an in-plan
-    * broadcast (the same `CROSS JOIN g` shape the DuckDB oracle uses) the
-    * whole query is ONE job and the lazily-checkpointed postings pass is
-    * shared by every subtree — scalars included. */
-  private def globalsOf(spark: SparkSession, dir: String,
-      post: DataFrame): DataFrame =
-    broadcast(post.agg(sum("cnt").as("tc")).crossJoin(
-      documents(spark, dir).agg(count(lit(1)).as("n"))))
+  /** The corpus-global scalars (doc count, per-term dfs, token count) as a
+    * ONE-ROW broadcast relation instead of driver collect()s — the same
+    * `CROSS JOIN g` shape the DuckDB oracle uses, so each scoring op is
+    * ONE job over two narrow passes. */
+  private def globalsOf(pd: DataFrame, nTerms: Int,
+      withTc: Boolean): DataFrame =
+    broadcast(pd.agg(count(lit(1)).as("n"),
+      ((if (withTc) Seq(sum("dl").as("tc")) else Nil) ++
+        (0 until nTerms).map(i =>
+          sum(when(col(s"_c$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))): _*))
+
+  private def anyTermMatches(nTerms: Int): Column =
+    (0 until nTerms).map(i => col(s"_c$i") > 0).reduce(_ || _)
 
   /** TF-IDF (ranking.c:90-91 formulas) for the fixed query term set, summed
-    * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB. */
+    * per doc — no top-k cap so no rounding-boundary flakiness vs DuckDB.
+    * A zero-count term contributes exactly ln(0+1)·idf = 0.0, so the sum
+    * runs over all query terms unconditionally. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val post = materializedPostings(spark, dir)
-    val n = documents(spark, dir).agg(count(lit(1)).as("n"))
-    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
-    post.where(col("term").isin(queryTerms: _*))
-      .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score",
-        log(col("cnt") + 1) * (log(col("n").cast("double") / col("df")) + 1))
-      .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
+    val pd = termCounts(spark, dir, queryTerms)
+    def scoreT(i: Int) =
+      log(col(s"_c$i") + 1) *
+        (log(col("n").cast("double") / col(s"_df$i")) + 1)
+    pd.where(anyTermMatches(queryTerms.size))
+      .crossJoin(globalsOf(pd, queryTerms.size, withTc = false))
+      .select(col("doc_id"),
+        round(queryTerms.indices.map(scoreT).reduce(_ + _), 4).as("score"))
   }
 
   /** BM25 (ranking.c:99-176: k=1.2 b=0.75, integer adl division). */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val post = materializedPostings(spark, dir)
-    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val dls = post.groupBy("doc_id").agg(sum("cnt").as("dl"))
-    val tf = log(col("cnt") + 1)
+    val pd = termCounts(spark, dir, queryTerms)
     // integer adl division, ranking.c:163 — `div` is long division like
     // the collected-scalar form (tokenCount / n) this replaces
     val adl = expr("tc div n").cast("double")
-    post.where(col("term").isin(queryTerms: _*))
-      .join(broadcast(dfs.where(col("term").isin(queryTerms: _*))), "term")
-      .join(dls, "doc_id")
-      .crossJoin(globalsOf(spark, dir, post))
-      .withColumn("score",
-        (tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / adl))) *
-          log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-      .groupBy("doc_id").agg(round(sum("score"), 4).as("score"))
+    def scoreT(i: Int) = {
+      val tf = log(col(s"_c$i") + 1)
+      (tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / adl))) *
+        log((col("n").cast("double") - col(s"_df$i") + 0.5) /
+          (col(s"_df$i") + 0.5) + 1)
+    }
+    pd.where(anyTermMatches(queryTerms.size))
+      .crossJoin(globalsOf(pd, queryTerms.size, withTc = true))
+      .select(col("doc_id"),
+        round(queryTerms.indices.map(scoreT).reduce(_ + _), 4).as("score"))
   }
 
-  /** Boolean query `spark AND (hash OR join) AND NOT slow` as semi/anti
-    * joins — the reference's bitmap algebra (search.c:118-174) in
-    * relational form. Four consumers of one materialized postings pass. */
+  /** Boolean query `spark AND (hash OR join) AND NOT slow` — the
+    * reference's bitmap algebra (search.c:118-174). With a FIXED query the
+    * whole predicate evaluates per document in one codegen'd scan
+    * (array_contains per term); the semi/anti-join form this replaces
+    * materialized one corpus-wide posting relation per leaf. Same rows:
+    * docsWith(t) held exactly one row per document containing t, and the
+    * semi/anti chain is the boolean predicate by definition. */
   def searchBool(spark: SparkSession, dir: String): DataFrame = {
-    val post = materializedPostings(spark, dir)
-    def docsWith(t: String) = post.where(col("term") === t).select("doc_id")
-    docsWith("spark")
-      // no distinct on the OR union: left-semi semantics ignore right-side
-      // duplicates, so the reference's or_inplace dedup is free here
-      .join(docsWith("hash").unionByName(docsWith("join")),
-        Seq("doc_id"), "left_semi")
-      .join(docsWith("slow"), Seq("doc_id"), "left_anti")
+    val t = coalesce(TrainingOps.wsTokens, array())
+    def has(term: String) = array_contains(t, term)
+    documents(spark, dir)
+      .where(has("spark") && (has("hash") || has("join")) && !has("slow"))
+      .select("doc_id")
   }
 
   /** Reference-pipeline postings (nxs_tokenize) — rows-only check (ICU

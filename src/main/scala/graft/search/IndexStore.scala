@@ -204,18 +204,38 @@ object IndexStore {
       sortCols = Seq("term"), bloomCols = Seq("term")) {
       SearchIndex.postingsOf(docs, cfg)
     }
-    val docStats = store.runStage(n("doc_stats"), f, inputs = Seq(n("postings"))) {
-      SearchIndex.docStatsOf(postings)
-    }
-    val termStats = store.runStage(n("term_stats"), f,
-      inputs = Seq(n("postings")),
-      sortCols = Seq("term"), bloomCols = Seq("term")) {
-      SearchIndex.termStatsOf(postings)
-    }
-    val statsDf = store.runStage(n("index_stats"), f, inputs = Seq(n("doc_stats"))) {
-      docStats.agg(count(lit(1)).as("doc_count"),
-        coalesce(sum("dl"), lit(0L)).as("token_count"))
-    }
+    // The two stage chains hanging off the committed postings are
+    // independent — doc_stats → index_stats and term_stats (→ fuzzy, run
+    // below on the same thread) — so they run as two concurrent driver
+    // threads (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially; the second chain's tasks back-fill the
+    // executor slots the first chain's tail leaves idle). Stage dirs and
+    // manifests are disjoint; the shared _metrics append is serialized
+    // inside StageStore.
+    val docStatsChain = java.util.concurrent.CompletableFuture.supplyAsync(() => {
+      val docStats = store.runStage(n("doc_stats"), f,
+        inputs = Seq(n("postings"))) {
+        SearchIndex.docStatsOf(postings)
+      }
+      val statsDf = store.runStage(n("index_stats"), f,
+        inputs = Seq(n("doc_stats"))) {
+        docStats.agg(count(lit(1)).as("doc_count"),
+          coalesce(sum("dl"), lit(0L)).as("token_count"))
+      }
+      (docStats, statsDf)
+    })
+    val termStats =
+      try store.runStage(n("term_stats"), f,
+        inputs = Seq(n("postings")),
+        sortCols = Seq("term"), bloomCols = Seq("term")) {
+        SearchIndex.termStatsOf(postings)
+      } catch { case e: Throwable =>
+        // the sibling chain must not be left running against a root the
+        // failed caller may clean up
+        docStatsChain.cancel(true); throw e
+      }
+    // (docStatsChain is joined AFTER the fuzzy stage below, so the fuzzy
+    // build overlaps the chain's tail as well.)
     // Symmetric-delete fuzzy index (the reference's BK-tree re-expressed as
     // an at-rest table, /root/reference/src/algo/bktree.c:160-275): one row
     // per (deletion-variant hash, term), vh-sorted so row groups span
@@ -228,11 +248,18 @@ object IndexStore {
     // write one — opens stay read-only; such opens fall back to on-the-fly
     // candidate derivation until the next build/compact.
     val fuzzy: Option[DataFrame] =
-      if (building || store.wouldResume(n("fuzzy_variants"), fuzzyFpOf(f),
-          Seq(n("term_stats"))))
-        Some(runFuzzyStage(store, n("fuzzy_variants"), f, n("term_stats"),
-          termStats))
-      else None
+      try {
+        if (building || store.wouldResume(n("fuzzy_variants"), fuzzyFpOf(f),
+            Seq(n("term_stats"))))
+          Some(runFuzzyStage(store, n("fuzzy_variants"), f, n("term_stats"),
+            termStats))
+        else None
+      } catch { case e: Throwable => docStatsChain.cancel(true); throw e }
+    val (docStats, statsDf) =
+      try docStatsChain.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+      }
     // The new base is committed: stale-pipeline mutation dirs (already
     // invisible to replay via their pfp mismatch) can now be removed.
     if (pipelineChanged && storedFull.isDefined)

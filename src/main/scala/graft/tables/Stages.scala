@@ -162,8 +162,14 @@ final class StageStore(val spark: SparkSession, val root: String) {
             org.apache.spark.sql.types.LongType))))
         .withColumn("stage", lit(name))
         .withColumn("run_fingerprint", lit(fingerprint))
-      JobLabel(spark, s"stage:$name:metrics") {
-        metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+      // Serialized across threads: concurrent stage runs (IndexStore
+      // overlaps independent stages) must not Append into one directory
+      // concurrently — the Hadoop committer's shared _temporary staging
+      // dir is not safe for two simultaneous jobs on the same path.
+      StageStore.metricsLock.synchronized {
+        JobLabel(spark, s"stage:$name:metrics") {
+          metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+        }
       }
       writeManifest(name, Map(
         "stage" -> name,
@@ -177,4 +183,11 @@ final class StageStore(val spark: SparkSession, val root: String) {
   }
 
   def metrics(): DataFrame = spark.read.parquet(s"$root/_metrics")
+}
+
+object StageStore {
+  /** Guards the `_metrics` Append across stage-running threads (one lock
+    * JVM-wide: metrics writes are driver-side one-row-group files, so
+    * coarse serialization costs nothing). */
+  private[tables] val metricsLock = new Object
 }
