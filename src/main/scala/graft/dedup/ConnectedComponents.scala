@@ -134,19 +134,25 @@ object ConnectedComponents {
     // src's current comp to dst; (b) pointer jumping — comp <- comp(comp).
     // Labels only decrease, so comp(comp) <= comp (hash-to-min style
     // horizon doubling).
+    // Every per-round join is hinted SHUFFLE_HASH (r7): the label/message
+    // relations are a few narrow columns, so the hash build is small and
+    // bounded, while the planner's default sort-merge pays a full sort of
+    // BOTH sides per join — with 6 joins per fused 2-round job those sorts
+    // dominated the round's stage walls. (A hint, not a conf: the caller's
+    // session config is not ours to change.)
     def round(cur: DataFrame): DataFrame = {
       val msgs = adj
-        .join(cur.withColumnRenamed("id", "src"), "src")
+        .join(cur.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("nbr_comp"))
       val stepped = cur
-        .join(msgs, Seq("id"), "left")
+        .join(msgs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       val parents = stepped
         .select(col("id").as("comp"), col("comp").as("pcomp"))
       stepped
-        .join(parents, Seq("comp"), "left")
+        .join(parents.hint("shuffle_hash"), Seq("comp"), "left")
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
     }
 
