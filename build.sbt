@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // short-lived per-row allocation; the adaptive default young gen is far
   // too small at 32 allocation-heavy threads (tools/ScaleProbe A/B).
   "-XX:NewRatio=1",
-)
+) ++
+  // Ad-hoc JVM flag passthrough for A/B experiments (GC sizing etc.);
+  // unset in normal runs, so defaults above are what ships.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Nil)

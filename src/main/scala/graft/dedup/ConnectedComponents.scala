@@ -93,15 +93,23 @@ object ConnectedComponents {
     * @param fuse propagation rounds executed per Spark job (per driver
     *        barrier). Star-edge generation bounds component diameter at a
     *        small constant, so rounds are cheap and the per-job driver
-    *        latency dominates at high parallelism — fusing 2 rounds per
-    *        materialization halves the job count (the 8→32 scaling tax paid
-    *        per job is measured, see BENCH/BASELINE.md). The intermediate
-    *        round is a LAZY checkpoint: the fused job computes round 1 once,
-    *        feeds its blocks to round 2's three consumers, and the
-    *        convergence sum — one job, no recomputation.
+    *        latency dominates at high parallelism — fusing rounds per
+    *        materialization cuts the job count (the 8→32 scaling tax paid
+    *        per job is measured, see BENCH/BASELINE.md). Intermediate
+    *        rounds are LAZY checkpoints: the fused job computes each round
+    *        once, feeds its blocks to the next round's three consumers, and
+    *        the convergence sum — one job, no recomputation. Default 4 (r7):
+    *        with the early-fixpoint check comparing the LAST intermediate
+    *        round against the final round, a graph that settles by round 3 —
+    *        measured for the star-bounded graphs our candidate generators
+    *        emit (fixpoint at round 3, one pointer-jump past the 2-round
+    *        star depth) — converges in ONE fused job (sum(r3) == sum(r4)
+    *        proves r4 was a no-op), where fuse=2 paid a second full job
+    *        (driver barrier + adjacency re-read) to observe the same thing
+    *        with the same four rounds of join work.
     * @return (id: long, comp: long) for every node appearing in edges;
     *         comp = min node id of the component. */
-  def run(edges: DataFrame, maxIter: Int = 25, fuse: Int = 2): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25, fuse: Int = 4): DataFrame = {
     // Symmetric adjacency (both directions), deduped, materialized once —
     // lazily, so the first iteration's job does it (no separate barrier).
     // Pre-partitioned by src: the per-iteration message join keys on src, so

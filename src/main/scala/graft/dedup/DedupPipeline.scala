@@ -208,7 +208,13 @@ object DedupPipeline {
     * MinHash band keys come precomputed from `band_keys` when the caller
     * materialized them (clustersFromSigs does — 16 longs stored instead of
     * the 128-long sig) and are derived from `sig` otherwise. */
-  private def bucketedAux(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** The per-family exploded relations behind `bucketedAux`, tagged by
+    * pass — exposed separately so consumers that join against a RUNTIME
+    * key subset (edgesRaw's over-cap star join) can join per family and
+    * let AQE's empty-relation propagation prune the families whose key
+    * subset is empty, instead of re-evaluating every family's explode. */
+  private def bucketedFamilies(sigs: DataFrame,
+      cfg: DedupConfig): Seq[(Int, DataFrame)] = {
     // One explode per family over its PRIMITIVE key array, unioned (r7):
     // the previous single explode over concat(transform(keys → struct))
     // allocated one InternalRow per bucket entry (~31/doc) plus the
@@ -226,13 +232,16 @@ object DedupPipeline {
       sigs.select(col("doc_id"), lit(pass).as("pass"),
         explode(keys).as("bucket_key"), aux.as("aux"))
     val families = Seq(
-      (cfg.runMinhash, () => family(PassMinhash, bandArr, nullAux)),
-      (cfg.runSimhash, () => family(PassSimhash, array(blockKeys(cfg): _*), col("simhash"))),
-      (cfg.runWinnow, () => family(PassWinnow, col("winnow_fps"), nullAux))
-    ).collect { case (true, f) => f() }
+      (cfg.runMinhash, PassMinhash, () => family(PassMinhash, bandArr, nullAux)),
+      (cfg.runSimhash, PassSimhash, () => family(PassSimhash, array(blockKeys(cfg): _*), col("simhash"))),
+      (cfg.runWinnow, PassWinnow, () => family(PassWinnow, col("winnow_fps"), nullAux))
+    ).collect { case (true, p, f) => (p, f()) }
     require(families.nonEmpty, "at least one pass must be enabled")
-    families.reduce(_ unionByName _)
+    families
   }
+
+  private def bucketedAux(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    bucketedFamilies(sigs, cfg).map(_._2).reduce(_ unionByName _)
 
   /** (doc_id, pass, bucket_key) view, for diagnostics. */
   def bucketed(sigs: DataFrame, cfg: DedupConfig): DataFrame =
@@ -297,6 +306,65 @@ object DedupPipeline {
     // The same (pass, src, dst) can emerge from several buckets — dedup once
     // before the (wide-array) verify join.
     smallPairs.unionByName(smallStars).unionByName(bigStars).distinct()
+  }
+
+  /** Bucket-row bound for `pairsFromBucketsAuto`'s driver fast path:
+    * ~24 B/row ⇒ ≤ ~6 MB collected at the bound, noise for the driver heap,
+    * while the distributed path costs several scheduled jobs (bounded-agg
+    * shuffle, over-cap star join, candidate distinct) whose per-job driver
+    * barriers dwarf the compute for delta-scoped relations. */
+  private[graft] val SmallBucketRowBound: Int = 1 << 18
+
+  /** `pairsFromBuckets` with a DRIVER fast path for small bucket relations
+    * (the incremental delta path — its touched-bucket stream is O(delta) by
+    * construction and already materialized): when the relation holds at most
+    * `smallRowBound` rows they collect and the same cap/star policy
+    * enumerates the pairs in a driver loop — pair SET identical by
+    * construction (same grouping, same size test, same true-min anchor, same
+    * cross-bucket dedup; duplicate (doc_id, bucket) rows count toward sz and
+    * pair like the aggregate's member list). Over the bound, falls back to
+    * the distributed form at the price of one extra `limit(bound+1)`
+    * evaluation — callers pass a materialized relation, so that is a block
+    * read. */
+  private[graft] def pairsFromBucketsAuto(bucketedRel: DataFrame,
+      smallCap: Int, alwaysStarPass: Int,
+      smallRowBound: Int = SmallBucketRowBound): DataFrame = {
+    val rel = bucketedRel.select("pass", "bucket_key", "doc_id")
+    val sample = rel.limit(smallRowBound + 1).collect()
+    if (sample.length > smallRowBound)
+      return pairsFromBuckets(bucketedRel, smallCap, alwaysStarPass)
+    // group rows by (pass, bucket_key), preserving duplicates
+    val groups = new java.util.HashMap[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]()
+    sample.foreach { r =>
+      groups.computeIfAbsent((r.getInt(0), r.getLong(1)),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(2)
+    }
+    val out = new java.util.LinkedHashSet[(Int, Long, Long)]()
+    groups.forEach { (k, members) =>
+      val (pass, _) = k
+      if (members.length > 1) {
+        if (pass == alwaysStarPass || members.length > smallCap) {
+          val mn = members.min
+          members.foreach(m => if (m != mn) out.add((pass, mn, m)))
+        } else {
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) {
+              val (a, b) = (members(i), members(j))
+              out.add((pass, math.min(a, b), math.max(a, b)))
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    val spark = bucketedRel.sparkSession
+    import spark.implicits._
+    spark.createDataset(scala.jdk.CollectionConverters
+      .CollectionHasAsScala(out).asScala.toSeq)
+      .toDF("pass", "src", "dst")
   }
 
   /** Per-pass bucket-population diagnostics: buckets, members, over-cap
@@ -372,11 +440,24 @@ object DedupPipeline {
     // recomputed bucket stream (measured ~1 GB at 699k docs), so broadcast
     // explicitly; flip broadcastOverCapKeys off for adversarial corpora
     // where over-cap bucket counts rival the corpus.
+    //
+    // Joined PER FAMILY (r7): over-cap buckets cluster in one pass (winnow's
+    // shared-fingerprint buckets on mass-duplicate corpora), but a single
+    // join against the 3-family union re-evaluated EVERY family's explode
+    // (measured 931 tasks / ~60 core-s at 699k docs) to pull the members of
+    // a handful of hot buckets. Per-family joins let AQE's empty-relation
+    // propagation collapse the families whose over-cap key subset is empty
+    // at runtime — their explode never runs. Row set identical: pass is
+    // part of the join key, so join(union) ≡ union of per-pass joins.
     val bigKeys0 = agg.where(col("sz") > cfg.smallCap)
       .select("pass", "bucket_key", "mn", "mn_aux")
-    val bigKeys = if (cfg.broadcastOverCapKeys) broadcast(bigKeys0) else bigKeys0
-    val bigStars = bucketedAux(sigs, cfg)
-      .join(bigKeys, Seq("pass", "bucket_key"))
+    def bigKeysFor(p: Int): DataFrame = {
+      val k = bigKeys0.where(col("pass") === p)
+      if (cfg.broadcastOverCapKeys) broadcast(k) else k
+    }
+    val bigStars = bucketedFamilies(sigs, cfg)
+      .map { case (p, fam) => fam.join(bigKeysFor(p), Seq("pass", "bucket_key")) }
+      .reduce(_ unionByName _)
       .where(col("doc_id") =!= col("mn"))
       .where(col("pass") =!= PassSimhash ||
         bit_count(col("aux").bitwiseXOR(col("mn_aux"))) <= cfg.simhashMaxHamming)
@@ -418,8 +499,16 @@ object DedupPipeline {
     * equals array_intersect cardinality on any sorted input. */
   def verifyJaccard(edges: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val s = sigs.select(col("doc_id"), col("shingles"))
-    edges
+    // shuffle_hash on the PAIR side (r7): the planner's sort-merge pays a
+    // full sort of the shingle-array relation on each join key — the
+    // pipeline's widest exchange (measured ~1 GB at 699k docs) sorted twice
+    // for joins whose other side is ~20-byte pair rows. Hashing builds on
+    // the hinted pair side (small, bounded per partition) and STREAMS the
+    // wide side unsorted; AQE's skew splitting applies to shuffled-hash
+    // joins the same as sort-merge.
+    edges.hint("shuffle_hash")
       .join(s.select(col("doc_id").as("src"), col("shingles").as("sh_a")), "src")
+      .hint("shuffle_hash")
       .join(s.select(col("doc_id").as("dst"), col("shingles").as("sh_b")), "dst")
       .withColumn("jaccard", nxs_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= cfg.tau)

@@ -494,22 +494,27 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         scala.collection.mutable.ArrayBuffer.empty): DataFrame = {
     import DedupPipeline.{PassMinhash, PassSimhash, PassWinnow}
     val bNew = bucketsNew.select("pass", "bucket_key", "doc_id", "bpt")
-    // The touched partition set is at most bucketParts values — a driver
-    // scalar derived from the (delta-sized) new bucket stage.
-    val touchedPts = graft.tables.JobLabel(spark, "inc:touchedPts") {
-      bNew.select("bpt").distinct().collect().map(_.getInt(0)).toSeq
-    }
     // The new-key set materializes ONCE before the semi-join: Catalyst
     // pushes the semi-join below the stored-stage union, so an inline
     // aggregate subtree would be re-planned (scan + exchange + aggregate +
     // broadcast build) once PER STORED STAGE branch; as checkpoint blocks
     // the per-branch build is a block read and exchange reuse can kick in.
+    // bpt rides along (pmod of bucket_key — deterministic, so the distinct
+    // stays one row per (pass, bucket_key)): the touched-partition collect
+    // below then reads these blocks instead of re-evaluating the new bucket
+    // stage a second time (r7 — was a separate distinct+collect job).
     val newKeys = graft.tables.JobLabel(spark, "inc:newKeys") {
-      Materialize(bNew.select("pass", "bucket_key").distinct())
+      Materialize(bNew.select("pass", "bucket_key", "bpt").distinct())
     }
     releasables += newKeys
+    // The touched partition set is at most bucketParts values — a driver
+    // scalar, now a tiny block-read aggregate over the materialized keys.
+    val touchedPts = graft.tables.JobLabel(spark, "inc:touchedPts") {
+      newKeys.select("bpt").distinct().collect().map(_.getInt(0)).toSeq
+    }
     val touched = prunedStoredBuckets(priorIds, touchedPts)
-      .join(newKeys, Seq("pass", "bucket_key"), "left_semi")
+      .join(newKeys.select("pass", "bucket_key"),
+        Seq("pass", "bucket_key"), "left_semi")
     // Materialized: pairsFromBuckets' over-cap star join re-evaluates its
     // input, and this stream's lineage is a full stored-bucket semi-join —
     // the checkpoint is delta-sized (touched buckets only).
@@ -518,7 +523,13 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         touched.unionByName(bNew.select("pass", "bucket_key", "doc_id")))
     }
     releasables += stream
-    val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
+    // Auto: the stream is delta-bounded AND materialized (blocks), so the
+    // small-relation probe is a cheap block read and a small batch's pair
+    // generation runs as a driver loop instead of a bounded-agg shuffle +
+    // star join + distinct (several scheduled jobs whose barriers dominate
+    // at delta scale — the same trade ConnectedComponents.runAuto makes);
+    // a crawl-sized batch falls back to the distributed form.
+    val cand = DedupPipeline.pairsFromBucketsAuto(stream, cfg.smallCap,
       alwaysStarPass = PassWinnow)
     // keep only pairs that involve a new document — old-old pairs in a
     // touched bucket were found when their docs arrived. Small deltas
