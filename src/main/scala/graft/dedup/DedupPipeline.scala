@@ -541,8 +541,13 @@ object DedupPipeline {
     * plain equi-join that AQE can skew-split. */
   private[graft] def resolveClusters(docs: DataFrame,
       labels: DataFrame): DataFrame = {
+    // Both resolve joins hinted shuffle_hash (r7, same rationale as the CC
+    // per-round joins): the build sides (labels; per-cluster champion rows)
+    // are narrow two/three-column relations, while sort-merge paid sorts of
+    // the full doc relation on every run of the resolve tail.
     val labeled = docs
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("id", "doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
     // The champion test compares the FULL (warc_ts, url, doc_id) triple,
@@ -567,7 +572,7 @@ object DedupPipeline {
       .groupBy("cluster_id")
       .agg(min(struct(col("warc_ts"), col("url"), col("doc_id"))).as("c"))
     labeled
-      .join(champs, Seq("cluster_id"))
+      .join(champs.hint("shuffle_hash"), Seq("cluster_id"))
       .withColumn("is_champion",
         struct(col("warc_ts"), col("url"), col("doc_id")) === col("c"))
       .select("url", "doc_id", "cluster_id", "is_champion")

@@ -56,7 +56,7 @@ case class BoundedBucketAgg(
     val members = new Array[Any](b.n)
     var i = 0
     while (i < b.n) {
-      members(i) = InternalRow(b.ids(i), b.auxs(i))
+      members(i) = InternalRow(b.idAt(i), b.auxAt(i))
       i += 1
     }
     InternalRow(b.count, b.mnId, b.mnAux, new GenericArrayData(members))
@@ -69,7 +69,7 @@ case class BoundedBucketAgg(
     * 25-byte header (n = -1 sentinel) instead of repeating the member pair:
     * ~20% off the pipeline's one big shuffle. */
   override def serialize(b: BucketBuffer): Array[Byte] = {
-    if (b.count == 1L && b.n == 1 && b.ids(0) == b.mnId && b.auxs(0) == b.mnAux) {
+    if (b.count == 1L && b.n == 1 && b.idAt(0) == b.mnId && b.auxAt(0) == b.mnAux) {
       val out = java.nio.ByteBuffer.allocate(8 * 2 + 1)
       out.put(SingletonTag); out.putLong(b.mnId); out.putLong(b.mnAux)
       return out.array()
@@ -79,7 +79,7 @@ case class BoundedBucketAgg(
     out.putLong(b.count); out.putLong(b.mnId); out.putLong(b.mnAux)
     out.putInt(b.n)
     var i = 0
-    while (i < b.n) { out.putLong(b.ids(i)); out.putLong(b.auxs(i)); i += 1 }
+    while (i < b.n) { out.putLong(b.idAt(i)); out.putLong(b.auxAt(i)); i += 1 }
     out.array()
   }
 
@@ -88,17 +88,20 @@ case class BoundedBucketAgg(
     val b = new BucketBuffer(cap + 1)
     if (in.get() == SingletonTag) {
       b.count = 1L; b.mnId = in.getLong(); b.mnAux = in.getLong()
-      b.n = 1; b.ids(0) = b.mnId; b.auxs(0) = b.mnAux
+      b.n = 1; b.id0 = b.mnId; b.aux0 = b.mnAux
       return b
     }
     b.count = in.getLong(); b.mnId = in.getLong(); b.mnAux = in.getLong()
-    b.n = in.getInt()
-    if (b.n > b.ids.length) {
-      b.ids = new Array[Long](b.n)
-      b.auxs = new Array[Long](b.n)
-    }
+    val n = in.getInt()
+    b.ensureFor(n)
     var i = 0
-    while (i < b.n) { b.ids(i) = in.getLong(); b.auxs(i) = in.getLong(); i += 1 }
+    while (i < n) {
+      val id = in.getLong(); val aux = in.getLong()
+      if (i == 0 && b.ids == null) { b.id0 = id; b.aux0 = aux }
+      else { b.ids(i) = id; b.auxs(i) = aux }
+      i += 1
+    }
+    b.n = n
     b
   }
 
@@ -118,40 +121,69 @@ case class BoundedBucketAgg(
   * Trimming only ever happens when count > bound, so membership is complete
   * exactly when the final count fits the bound.
   *
-  * Member arrays grow geometrically from 2 slots instead of reserving
-  * `bound` up front: with near-unique bucket keys the map side allocates
-  * one buffer per input row and almost all of them hold a single member —
-  * eager 2×(cap+1)-long arrays were ~5 GB of dead allocation per bench
-  * corpus pass (r7 measurement; the agg is the pipeline's one big
-  * shuffle). */
+  * The FIRST member is inlined as plain fields and the member arrays are
+  * allocated only at the second member (r7): with near-unique bucket keys
+  * the map side allocates one buffer per input row and almost all of them
+  * hold a single member, so the two eager arrays were two dead allocations
+  * per corpus row — measured as the dominant share of the bucket-aggregate
+  * stage's 46 s task-attributed GC at 699k docs (after the signature-kernel
+  * scratch fix exposed it). Invariant: `ids == null` ⟺ n <= 1, and once
+  * arrays exist the inlined member has been copied into slot 0. */
 final class BucketBuffer(bound: Int) {
   var count: Long = 0L
   var mnId: Long = Long.MaxValue
   var mnAux: Long = 0L
   var n: Int = 0
-  var ids = new Array[Long](2)
-  var auxs = new Array[Long](2)
+  var id0: Long = 0L
+  var aux0: Long = 0L
+  var ids: Array[Long] = null
+  var auxs: Array[Long] = null
 
-  private def ensure(m: Int): Unit =
-    if (ids.length < m) {
-      val c = math.min(bound, math.max(m, ids.length * 2))
-      ids = java.util.Arrays.copyOf(ids, c)
-      auxs = java.util.Arrays.copyOf(auxs, c)
+  @inline def idAt(i: Int): Long = if (ids == null) id0 else ids(i)
+  @inline def auxAt(i: Int): Long = if (ids == null) aux0 else auxs(i)
+
+  /** Ensure capacity for `m` members, promoting the inlined first member
+    * into slot 0 on the first allocation. */
+  private[functions] def ensureFor(m: Int): Unit =
+    if (m > 1) {
+      if (ids == null) {
+        val c = math.min(bound, math.max(m, 4))
+        ids = new Array[Long](c)
+        auxs = new Array[Long](c)
+        if (n > 0) { ids(0) = id0; auxs(0) = aux0 }
+      } else if (ids.length < m) {
+        val c = math.min(bound, math.max(m, ids.length * 2))
+        ids = java.util.Arrays.copyOf(ids, c)
+        auxs = java.util.Arrays.copyOf(auxs, c)
+      }
     }
+
+  /** Append one member. The inline fields are used ONLY while `ids` is
+    * null: a reduce-side buffer can have arrays pre-allocated (ensureFor
+    * from merge) while still empty, and writing member 0 to the inline
+    * fields then would make idAt(0) read the zeroed ids(0) instead —
+    * the r7 first-cut of this class had exactly that bug (caught by the
+    * DuckDB oracle as phantom doc_id-0 star edges). */
+  @inline private def append(id: Long, aux: Long): Unit = {
+    if (n == 0 && ids == null) { id0 = id; aux0 = aux }
+    else { ensureFor(n + 1); ids(n) = id; auxs(n) = aux }
+    n += 1
+  }
 
   def add(id: Long, aux: Long): Unit = {
     count += 1
     if (id < mnId) { mnId = id; mnAux = aux }
-    if (n < bound) { ensure(n + 1); ids(n) = id; auxs(n) = aux; n += 1 }
+    if (n < bound) append(id, aux)
   }
 
   def merge(o: BucketBuffer): Unit = {
     count += o.count
     if (o.mnId < mnId) { mnId = o.mnId; mnAux = o.mnAux }
-    if (o.n > 0 && n < bound) ensure(math.min(bound, n + o.n))
+    if (o.n > 0 && n < bound) ensureFor(math.min(bound, n + o.n))
     var i = 0
     while (i < o.n && n < bound) {
-      ids(n) = o.ids(i); auxs(n) = o.auxs(i); n += 1; i += 1
+      append(o.idAt(i), o.auxAt(i))
+      i += 1
     }
   }
 }

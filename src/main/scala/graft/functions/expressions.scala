@@ -215,7 +215,18 @@ object ShingleHashesExpr {
   def shinglesFromTh(th: Array[Long], w: Int, seed: Long): Array[Long] = {
     val n = th.length
     if (n < w) return Array.empty[Long]
-    val raw = new Array[Long](n - w + 1)
+    shinglesFromTh(th, n, w, seed, new Array[Long](n - w + 1))
+  }
+
+  /** Scratch-buffer form (r7): `th` may be larger than the logical token
+    * count `n`, and `raw` (length >= n - w + 1) is caller-provided scratch —
+    * the fused bundle reuses per-thread buffers so a memo-warm document
+    * allocates only its exact-size outputs. Values identical to
+    * `shinglesFromTh(th.take(n), w, seed)`; the returned array is always a
+    * fresh exact-size copy (the scratch never escapes). */
+  private[functions] def shinglesFromTh(th: Array[Long], n: Int, w: Int,
+      seed: Long, raw: Array[Long]): Array[Long] = {
+    if (n < w) return Array.empty[Long]
     var i = 0
     while (i + w <= n) {
       var h = seed
@@ -224,7 +235,7 @@ object ShingleHashesExpr {
       raw(i) = h
       i += 1
     }
-    sortedDistinct(raw, raw.length)
+    sortedDistinctCopy(raw, n - w + 1)
   }
 
   /** Sort + dedup in place (primitive — no boxed TreeSet garbage in the
@@ -238,6 +249,20 @@ object ShingleHashesExpr {
       i += 1
     }
     if (out == a.length) a else java.util.Arrays.copyOf(a, out)
+  }
+
+  /** `sortedDistinct` that ALWAYS returns a fresh exact-size copy — the
+    * form scratch-buffer callers need (returning the buffer itself would
+    * leak a mutable thread-local into row values). */
+  private[functions] def sortedDistinctCopy(a: Array[Long], len: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, len)
+    var out = 0
+    var i = 0
+    while (i < len) {
+      if (out == 0 || a(out - 1) != a(i)) { a(out) = a(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, out)
   }
 }
 
@@ -305,6 +330,16 @@ object MinHashSigExpr {
     * identical to `signature`). */
   def signatureArr(shingles: Array[Long], k: Int, seed: Long): Array[Long] = {
     val sig = new Array[Long](k)
+    signatureInto(shingles, k, seed, sig)
+    sig
+  }
+
+  /** Fill-in-place form (r7): `sig` is caller-provided scratch of length
+    * exactly k, reset here — the fused bundle reuses a per-thread buffer
+    * and copies it into the UnsafeArrayData output (which copies on
+    * construction, so the scratch never escapes). */
+  private[functions] def signatureInto(shingles: Array[Long], k: Int,
+      seed: Long, sig: Array[Long]): Unit = {
     java.util.Arrays.fill(sig, Long.MaxValue)
     val (as, bs) = coefs(k, seed)
     // Shingle-outer loop: each shingle is read once and streamed through all
@@ -320,7 +355,6 @@ object MinHashSigExpr {
       }
       i += 1
     }
-    sig
   }
 }
 
@@ -368,11 +402,17 @@ object SimHash64Expr {
 
   /** SimHash from precomputed token hashes (the fused signature-bundle
     * path — one token-hash pass shared with shingles/winnow). */
-  def simhashFromTh(th: Array[Long]): Long = {
-    val ones = new Array[Long](64)
+  def simhashFromTh(th: Array[Long]): Long =
+    simhashFromTh(th, th.length, new Array[Long](64))
+
+  /** Scratch-buffer form (r7): `th` may exceed the logical count `n`;
+    * `ones` (length 64) is caller scratch, reset here. */
+  private[functions] def simhashFromTh(th: Array[Long], n: Int,
+      ones: Array[Long]): Long = {
+    java.util.Arrays.fill(ones, 0L)
     var i = 0
-    while (i < th.length) { accumulate(ones, th(i)); i += 1 }
-    assemble(ones, th.length)
+    while (i < n) { accumulate(ones, th(i)); i += 1 }
+    assemble(ones, n)
   }
 
   @inline private def accumulate(ones: Array[Long], h: Long): Unit = {
@@ -806,8 +846,20 @@ object WinnowExpr {
   def fpsFromTh(th: Array[Long], a: Int, win: Int, seed: Long): Array[Long] = {
     val n = th.length
     if (n < a) return Array.empty[Long]
+    fpsFromTh(th, n, a, win, seed,
+      new Array[Long](n - a + 1), new Array[Long](n - a + 1),
+      new Array[Int](n - a + 1))
+  }
+
+  /** Scratch-buffer form (r7): `th` may exceed the logical count `n`; `gh`,
+    * `sel`, `dq` (each length >= n - a + 1) are caller scratch — the fused
+    * bundle reuses per-thread buffers. The returned array is always a fresh
+    * exact-size copy (the scratch never escapes). */
+  private[functions] def fpsFromTh(th: Array[Long], n: Int, a: Int, win: Int,
+      seed: Long, gh: Array[Long], sel: Array[Long],
+      dq: Array[Int]): Array[Long] = {
+    if (n < a) return Array.empty[Long]
     val nGrams = n - a + 1
-    val gh = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
       var h = seed
@@ -816,7 +868,6 @@ object WinnowExpr {
       gh(i) = h
       i += 1
     }
-    val sel = new Array[Long](math.max(1, nGrams - win + 1))
     var nSel = 0
     if (nGrams <= win) {
       // single window
@@ -828,7 +879,6 @@ object WinnowExpr {
       // an O(win) rescan. Popping on >= keeps the RIGHTMOST of equal minima
       // at the front — the same tie-break as the rescan form (and the MOSS
       // paper's robust-winnowing rule).
-      val dq = new Array[Int](nGrams)
       var head = 0
       var tail = 0 // deque occupies dq[head, tail)
       i = 0
@@ -840,7 +890,7 @@ object WinnowExpr {
         i += 1
       }
     }
-    ShingleHashesExpr.sortedDistinct(sel, nSel)
+    ShingleHashesExpr.sortedDistinctCopy(sel, nSel)
   }
 }
 
@@ -957,11 +1007,45 @@ object SigBundleExpr {
     * window minima of the a-gram folds. The individual expressions remain
     * the public/SQL surface (Verify's oracle dumps use them); this bundle
     * is the hot-path form used by DedupPipeline.signatures. */
+  /** Per-thread scratch buffers (r7): the bundle runs once per document in
+    * the pipeline's biggest stage, and its working arrays (token hashes,
+    * raw gram hashes, deque, 64 bit counters, k-long signature) are
+    * size-bounded by the document — reusing them cuts roughly half the
+    * kernel's per-document allocation (the stage measured 81 s of
+    * task-attributed GC against 103 s of CPU at 699k docs). Only exact-size
+    * OUTPUT arrays are still allocated; every scratch use below either
+    * copies out (sortedDistinctCopy, UnsafeArrayData.fromPrimitiveArray) or
+    * is consumed before return, so no thread-local buffer escapes into row
+    * values. Expression evaluation is single-threaded per task thread —
+    * no reentrancy. */
+  private final class Scratch {
+    var th: Array[Long] = new Array[Long](256)
+    var raw: Array[Long] = new Array[Long](256)
+    var sel: Array[Long] = new Array[Long](256)
+    var dq: Array[Int] = new Array[Int](256)
+    val ones: Array[Long] = new Array[Long](64)
+    var sig: Array[Long] = Array.empty[Long]
+    def grow(n: Int): Unit = if (th.length < n) {
+      val c = math.max(n, th.length * 2)
+      th = new Array[Long](c)
+      raw = new Array[Long](c)
+      sel = new Array[Long](c)
+      dq = new Array[Int](c)
+    }
+    def sigFor(k: Int): Array[Long] = {
+      if (sig.length != k) sig = new Array[Long](k)
+      sig
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
   def bundle(tokens: ArrayData, w: Int, k: Int, a: Int, win: Int,
       runMinhash: Boolean, runSimhash: Boolean, runWinnow: Boolean,
       seed: Long): InternalRow = {
     val n = tokens.numElements()
-    val th = new Array[Long](n)
+    val s = scratch.get()
+    s.grow(n)
+    val th = s.th
     var i = 0
     while (i < n) {
       th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
@@ -974,16 +1058,17 @@ object SigBundleExpr {
     val vals = new Array[Any](nf)
     var f = 0
     if (runMinhash) {
-      val sh = ShingleHashesExpr.shinglesFromTh(th, w, seed)
+      val sh = ShingleHashesExpr.shinglesFromTh(th, n, w, seed, s.raw)
       vals(f) = UnsafeArrayData.fromPrimitiveArray(sh)
-      vals(f + 1) = UnsafeArrayData.fromPrimitiveArray(
-        MinHashSigExpr.signatureArr(sh, k, seed))
+      val sig = s.sigFor(k)
+      MinHashSigExpr.signatureInto(sh, k, seed, sig)
+      vals(f + 1) = UnsafeArrayData.fromPrimitiveArray(sig)
       f += 2
     }
-    if (runSimhash) { vals(f) = SimHash64Expr.simhashFromTh(th); f += 1 }
+    if (runSimhash) { vals(f) = SimHash64Expr.simhashFromTh(th, n, s.ones); f += 1 }
     if (runWinnow)
       vals(f) = UnsafeArrayData.fromPrimitiveArray(
-        WinnowExpr.fpsFromTh(th, a, win, seed))
+        WinnowExpr.fpsFromTh(th, n, a, win, seed, s.raw, s.sel, s.dq))
     new GenericInternalRow(vals)
   }
 }

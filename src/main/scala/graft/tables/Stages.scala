@@ -137,24 +137,35 @@ final class StageStore(val spark: SparkSession, val root: String) {
         }
       }
       val committed = spark.read.parquet(dataDir(name))
-      // ONE post-write read serves both the manifest row count and the
-      // per-partition metrics (r7: this used to be two full re-reads of
-      // the stage output — a count() plus a separate metrics aggregate
-      // whose Append write re-scanned the data; ~2 extra corpus reads per
-      // stage, on every stage of every index build / incremental batch).
-      // The per-partition counts are tiny (≤ scan partitions), so they
-      // collect and the metrics table is written driver-side.
-      val perPart = JobLabel(spark, s"stage:$name:postread") {
-        committed
-          .groupBy(spark_partition_id().as("partition_id"))
-          .agg(count(lit(1)).as("rows"))
-          .collect()
+      // Per-file row counts from the parquet FOOTERS, read driver-side (r7):
+      // this replaces a full post-write re-read job per stage (a
+      // groupBy(spark_partition_id) scan of everything just written — one
+      // extra stage-output read on every stage of every index build /
+      // incremental batch). Footer metadata is exact (the writer records
+      // per-row-group counts), the file walk is the same driver-side
+      // listing the committer already did, and one write file ≈ one write
+      // partition, so the metrics keep their skew-visibility meaning.
+      val perPart: Array[(Int, Long)] = {
+        val files = {
+          val s = Files.walk(Paths.get(dataDir(name)))
+          try s.filter(p => p.toString.endsWith(".parquet")).toArray
+            .map(_.toString).sorted
+          finally s.close()
+        }
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.zipWithIndex.map { case (f, i) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (i, r.getRecordCount) finally r.close()
+        }
       }
-      val rows = perPart.map(_.getLong(1)).sum
+      val rows = perPart.map(_._2).sum
       val durMs = (System.nanoTime() - t0) / 1e6
       // per-partition metrics (lineage + skew visibility at scale)
       val metrics = spark.createDataFrame(
-        spark.sparkContext.parallelize(perPart.toSeq, 1),
+        spark.sparkContext.parallelize(perPart.toSeq.map { case (p, r) =>
+          org.apache.spark.sql.Row(p, r) }, 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("partition_id",
             org.apache.spark.sql.types.IntegerType),

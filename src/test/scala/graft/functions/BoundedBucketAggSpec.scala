@@ -29,6 +29,26 @@ class BoundedBucketAggSpec extends AnyFunSuite {
     assert(big.getInt(4) == cap + 1) // bounded
   }
 
+  test("members survive reduce-side merge into an empty buffer (r7 inline-member regression)") {
+    // The final aggregation merges deserialized partials into a FRESH empty
+    // buffer; with the r7 inline-first-member layout, a multi-member partial
+    // merged into an empty buffer pre-allocates the arrays before member 0
+    // is appended — a first cut wrote member 0 to the inline fields anyway
+    // and idAt(0) then read a zeroed array slot (phantom doc_id 0, caught by
+    // the dedup oracles). Force multi-member partials with a repartition so
+    // every map partition produces >= 2 members for the key.
+    val cap = 16
+    val rows = (1 to 6).map(i => ("k", 100L + i, i.toLong))
+    val members = rows.toDF("k", "doc_id", "aux")
+      .repartition(2) // 2 partials, each multi-member
+      .groupBy("k")
+      .agg(graft.functions.bounded_bucket(col("doc_id"), col("aux"), cap).as("g"))
+      .select(explode(col("g.members")).as("m"))
+      .select(col("m.doc_id"), col("m.aux"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(members == (1 to 6).map(i => (100L + i, i.toLong)))
+  }
+
   test("bounded under repartitioned partial aggregation") {
     val cap = 8
     val df = spark.range(10000).select(lit("k").as("k"), col("id").as("doc_id"),
