@@ -12,8 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Jaccard, winnowing star edges + anchor-extended span evidence),
   * similarity search (brute-force, sign-LSH, IVF top-k), text analysis
   * (html extraction, lang-id, quality, token counts, fingerprints), event
-  * windowing/sessionization, and multimodal frame decode — 32 queries: 31
-  * with a DuckDB oracle in `oracleSql` (matching column names), plus
+  * windowing/sessionization, and multimodal frame decode — every query but
+  * one carries a DuckDB oracle in `oracleSql` (matching column names), plus
   * q_video_frames as the documented rows-only case (ImageIO decode is not
   * SQL-expressible; its math is pinned by MultimodalSpec's JDK
   * independent-decode oracles instead).
