@@ -328,11 +328,24 @@ object DedupPipeline {
     * read. */
   private[graft] def pairsFromBucketsAuto(bucketedRel: DataFrame,
       smallCap: Int, alwaysStarPass: Int,
-      smallRowBound: Int = SmallBucketRowBound): DataFrame = {
+      smallRowBound: Int = SmallBucketRowBound): DataFrame =
+    pairsFromBucketsLocal(bucketedRel, smallCap, alwaysStarPass,
+        smallRowBound) match {
+      case Some(pairs) => localPairsDF(bucketedRel.sparkSession, pairs)
+      case None => pairsFromBuckets(bucketedRel, smallCap, alwaysStarPass)
+    }
+
+  /** The driver enumeration behind `pairsFromBucketsAuto`, exposed so a
+    * caller that ALSO has driver-side follow-up filters (the incremental
+    * delta path's involves-a-new-doc filter) can apply them on the raw
+    * pair seq instead of planning literal-IN predicates over a local
+    * relation. Returns None when the relation exceeds the bound. */
+  private[graft] def pairsFromBucketsLocal(bucketedRel: DataFrame,
+      smallCap: Int, alwaysStarPass: Int,
+      smallRowBound: Int = SmallBucketRowBound): Option[Seq[(Int, Long, Long)]] = {
     val rel = bucketedRel.select("pass", "bucket_key", "doc_id")
     val sample = rel.limit(smallRowBound + 1).collect()
-    if (sample.length > smallRowBound)
-      return pairsFromBuckets(bucketedRel, smallCap, alwaysStarPass)
+    if (sample.length > smallRowBound) return None
     // group rows by (pass, bucket_key), preserving duplicates
     val groups = new java.util.HashMap[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]()
     sample.foreach { r =>
@@ -360,11 +373,14 @@ object DedupPipeline {
         }
       }
     }
-    val spark = bucketedRel.sparkSession
+    Some(scala.jdk.CollectionConverters.CollectionHasAsScala(out).asScala.toSeq)
+  }
+
+  /** (pass, src, dst) pair seq as a local DataFrame. */
+  private[graft] def localPairsDF(spark: org.apache.spark.sql.SparkSession,
+      pairs: Seq[(Int, Long, Long)]): DataFrame = {
     import spark.implicits._
-    spark.createDataset(scala.jdk.CollectionConverters
-      .CollectionHasAsScala(out).asScala.toSeq)
-      .toDF("pass", "src", "dst")
+    spark.createDataset(pairs).toDF("pass", "src", "dst")
   }
 
   /** Per-pass bucket-population diagnostics: buckets, members, over-cap

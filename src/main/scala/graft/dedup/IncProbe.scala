@@ -38,7 +38,7 @@ object IncProbe {
     require(store.incompleteBatch().isEmpty, "store has incomplete batch")
     require(new java.io.File(s"$corpusPath/_SUCCESS").exists(), "no corpus")
 
-    case class J(id: Int, desc: String, ms: Long)
+    case class J(id: Int, desc: String, startNs: Long, ms: Long)
     val jobs = mutable.ArrayBuffer.empty[J]
     val starts = mutable.Map.empty[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -48,7 +48,7 @@ object IncProbe {
             " | " + j.stageInfos.headOption.map(_.name.take(50)).getOrElse(""))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, d) =>
-          jobs += J(j.jobId, d, (System.nanoTime() - t0) / 1000000)
+          jobs += J(j.jobId, d, t0, (System.nanoTime() - t0) / 1000000)
         }
     })
 
@@ -75,5 +75,21 @@ object IncProbe {
         println(f"[incphase] $ms%6d ms  n=$n%-3d ${d.take(90)}")
       }
     println(f"[incprobe] job-ms-sum=${jobs.map(_.ms).sum}")
+    // driver-gap attribution: idle time between a job's END and the NEXT
+    // job's START, blamed on the next job's label (= what the driver was
+    // planning/optimizing/committing before launching it). Jobs can
+    // overlap (concurrent stage threads); negative gaps are clamped.
+    val byStart = jobs.sortBy(_.startNs).toIndexedSeq
+    val gapRows = (1 until byStart.length).map { i =>
+      val a = byStart(i - 1); val b = byStart(i)
+      val gap = (b.startNs - (a.startNs + a.ms * 1000000L)) / 1000000L
+      (b.desc.split(" \\| ").head, math.max(0L, gap))
+    }
+    gapRows.groupBy(_._1).toSeq
+      .map { case (d, gs) => (gs.map(_._2).sum, gs.size, d) }
+      .sortBy(-_._1).take(15).foreach { case (ms, n, d) =>
+        println(f"[incgap] $ms%6d ms  n=$n%-3d ${d.take(90)}")
+      }
+    println(f"[incprobe] gap-ms-sum=${gapRows.map(_._2).sum}")
   }
 }

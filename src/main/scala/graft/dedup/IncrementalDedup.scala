@@ -196,11 +196,29 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * fold's read/write parallelism at a handful of oversized tasks on a
     * large store. Corpus-scale callers (compact, clusters) pass false and
     * keep the native one-partition-per-file layout. */
+  /** Data paths of `stageNames`, zero-row stages skipped (their rows
+    * contribute nothing, and a zero-row PARTITIONED stage's fallback file
+    * has a different directory shape than its siblings — see
+    * StageStore.committedRows). When every stage is empty the first path is
+    * kept as the schema source. */
+  private def dataPaths(stageNames: Seq[String]): Seq[String] = {
+    val nonEmpty = stageNames.filter(n => store.committedRows(n).forall(_ > 0))
+    (if (nonEmpty.nonEmpty) nonEmpty else stageNames.take(1))
+      .map(n => s"$root/$n/data")
+  }
+
   private def readSigs(ids: Seq[String],
       capParts: Boolean = true): Option[DataFrame] =
-    ids.map(id => spark.read.parquet(s"$root/${sigStage(id)}/data"))
-      .reduceOption(_ unionByName _)
-      .map(df => if (capParts) df.coalesce(unionParts) else df)
+    if (ids.isEmpty) None
+    else Some {
+      // ONE multi-path read, not a per-stage unionByName fold (r7): stage
+      // schemas are identical by construction (single pinned config), and
+      // an N-branch union costs N scan subtrees in every plan that touches
+      // the store — analysis/optimization time grew with batch count on
+      // every delta read (IncProbe gap attribution).
+      val df = spark.read.parquet(dataPaths(ids.map(sigStage)): _*)
+      if (capParts) df.coalesce(unionParts) else df
+    }
 
   /** Stored signatures restricted to `docIds` — the sigs stages are written
     * doc_id-sorted with a doc_id bloom filter (the same at-rest mechanism as
@@ -249,8 +267,8 @@ final class IncrementalDedup(spark: SparkSession, root: String,
 
   private def readLabels(ids: Seq[String],
       capParts: Boolean = true): DataFrame =
-    ids.map(id => spark.read.parquet(s"$root/${labelStage(id)}/data")
-      .select("id", "comp")).reduce(_ unionByName _)
+    spark.read.parquet(dataPaths(ids.map(labelStage)): _*)
+      .select("id", "comp") // one multi-path scan — see readSigs
       .transform(df => if (capParts) df.coalesce(unionParts) else df)
 
   /** The current FULL label view over the delta label stages: one row per
@@ -270,6 +288,10 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     * directories a new batch actually touches. */
   private[dedup] def prunedStoredBuckets(ids: Seq[String],
       touchedPts: Seq[Int]): DataFrame =
+    // Stays a per-stage union (unlike readSigs/readLabels' multi-path
+    // read): each bucket stage is its own hive-partitioned root, and Spark
+    // rejects one partitioned read over multiple roots
+    // (CONFLICTING_DIRECTORY_STRUCTURES — basePath can only name one).
     ids.map { id =>
       spark.read.parquet(s"$root/${bucketStage(id)}/data")
         .where(col("bpt").isin(touchedPts: _*))
@@ -523,45 +545,71 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         touched.unionByName(bNew.select("pass", "bucket_key", "doc_id")))
     }
     releasables += stream
-    // Auto: the stream is delta-bounded AND materialized (blocks), so the
-    // small-relation probe is a cheap block read and a small batch's pair
-    // generation runs as a driver loop instead of a bounded-agg shuffle +
-    // star join + distinct (several scheduled jobs whose barriers dominate
-    // at delta scale — the same trade ConnectedComponents.runAuto makes);
-    // a crawl-sized batch falls back to the distributed form.
-    val cand = DedupPipeline.pairsFromBucketsAuto(stream, cfg.smallCap,
-      alwaysStarPass = PassWinnow)
-    // keep only pairs that involve a new document — old-old pairs in a
-    // touched bucket were found when their docs arrived. Small deltas
-    // (≤ maxSigIdPushdown ids) filter with ONE codegen'd IN predicate —
-    // the enumeration subtree evaluates once and the pairs are already
-    // distinct; large deltas materialize the enumeration first and keep
-    // the two-sided broadcast-semi shape (r7: the un-materialized form
-    // ran the bounded-agg + over-cap join subtree TWICE, once per
-    // semi-join branch — measured as the second-largest phase of a delta
-    // ingest).
+    // Candidate pairs, then "involves a new document" (old-old pairs in a
+    // touched bucket were found when their docs arrived). Four shapes by
+    // what fits in the driver (r7):
+    //  - stream within the collect bound AND delta ids within the pushdown
+    //    cap (the steady-state micro-batch): pairs enumerate in a driver
+    //    loop (pairsFromBucketsLocal — same cap/star policy, pair set
+    //    identical to the distributed form) and the delta filter is a
+    //    driver set test — NO Catalyst plan at all, where the previous
+    //    shape paid a bounded-agg shuffle + star join + distinct + a
+    //    thousand-literal IN predicate plan (IncProbe: candDelta 2.4 s /
+    //    7 jobs → a single LocalTableScan; the 1.3 s pre-candDelta
+    //    planning gap gone with it).
+    //  - driver pairs but a crawl-sized id set: broadcast-semi against the
+    //    local pair relation.
+    //  - over-bound stream: the distributed generator, with the IN filter
+    //    (small id set) or materialize + two-sided broadcast-semi (large).
     val newIds = sigsNew.select("doc_id")
     val newIdSample = graft.tables.JobLabel(spark, "inc:newIdProbe") {
       newIds.limit(maxSigIdPushdown + 1).collect()
     }
+    val localPairs = graft.tables.JobLabel(spark, "inc:candLocal") {
+      DedupPipeline.pairsFromBucketsLocal(stream, cfg.smallCap,
+        alwaysStarPass = PassWinnow)
+    }
     val candDelta = graft.tables.JobLabel(spark, "inc:candDelta") {
-      if (newIdSample.length <= maxSigIdPushdown) {
-        val ids = newIdSample.map(_.getLong(0))
-        Materialize(cand.where(
-          col("src").isin(ids: _*) || col("dst").isin(ids: _*)))
-      } else {
-        val candM = Materialize(cand)
-        releasables += candM
-        Materialize(candM
-          .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
-            Seq("src"), "left_semi")
-          .unionByName(candM
-            .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
-              Seq("dst"), "left_semi"))
-          .distinct())
+      (localPairs, newIdSample.length <= maxSigIdPushdown) match {
+        case (Some(pairs), true) =>
+          val ids = newIdSample.map(_.getLong(0)).toSet
+          DedupPipeline.localPairsDF(spark,
+            pairs.filter(p => ids(p._2) || ids(p._3)))
+        case (Some(pairs), false) =>
+          val cand = DedupPipeline.localPairsDF(spark, pairs)
+          val m = Materialize(cand
+            .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
+              Seq("src"), "left_semi")
+            .unionByName(cand
+              .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
+                Seq("dst"), "left_semi"))
+            .distinct())
+          releasables += m
+          m
+        case (None, true) =>
+          val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
+            alwaysStarPass = PassWinnow)
+          val ids = newIdSample.map(_.getLong(0))
+          val m = Materialize(cand.where(
+            col("src").isin(ids: _*) || col("dst").isin(ids: _*)))
+          releasables += m
+          m
+        case (None, false) =>
+          val cand = DedupPipeline.pairsFromBuckets(stream, cfg.smallCap,
+            alwaysStarPass = PassWinnow)
+          val candM = Materialize(cand)
+          releasables += candM
+          val m = Materialize(candM
+            .join(broadcast(newIds.withColumnRenamed("doc_id", "src")),
+              Seq("src"), "left_semi")
+            .unionByName(candM
+              .join(broadcast(newIds.withColumnRenamed("doc_id", "dst")),
+                Seq("dst"), "left_semi"))
+            .distinct())
+          releasables += m
+          m
       }
     }
-    releasables += candDelta
     // Stored signatures are read ONLY for the candidates' old endpoints —
     // a candidate-bounded doc_id set, pushed into the sigs scans — and
     // PER VERIFY FAMILY (r7): the endpoint population is dominated by the

@@ -72,6 +72,14 @@ final class StageStore(val spark: SparkSession, val root: String) {
   def isCommitted(name: String, fingerprint: String): Boolean =
     readManifest(name).exists(_.get("fingerprint").contains(fingerprint))
 
+  /** Committed row count of `name` from its manifest (every commit records
+    * it), None if the stage is not committed. Lets readers skip zero-row
+    * stages — a zero-row PARTITIONED stage falls back to one unpartitioned
+    * empty file (see runStage), whose directory shape would poison a
+    * multi-path partitioned read. */
+  def committedRows(name: String): Option[Long] =
+    readManifest(name).flatMap(_.get("rows")).map(_.toLong)
+
   private def fingerprintFor(configFingerprint: String,
       inputs: Seq[String]): String = {
     val lineage = inputs.map { in =>
