@@ -534,7 +534,8 @@ object IndexStore {
       .map(p => Paths.get(p).getFileName.toString) finally owned.close()
     names.foreach { name =>
       val isStage = stageBases.exists(b => name == b || name.startsWith(s"$b@"))
-      if (isStage || name == "mutations" || name == "_metrics")
+      if (isStage || name == "mutations" || name == "_metrics" ||
+          name == "stage_metrics.jsonl")
         graft.tables.FsUtil.deleteRecursively(new java.io.File(root, name))
     }
     // our own crash leftovers (a .tmp beside an otherwise-complete index)

@@ -18,8 +18,11 @@ import java.nio.charset.StandardCharsets
  *  - checkpoint resume: a re-run with an unchanged fingerprint (config +
  *    input lineage) reads the committed parquet instead of recomputing;
  *  - lineage: every manifest records its input stage names + fingerprints;
- *  - metrics: per-stage, per-partition row counts appended to a `_metrics`
- *    parquet table (spark_partition_id based).
+ *  - metrics: per-stage, per-file row counts appended driver-side to a
+ *    `stage_metrics.jsonl` journal (parquet-footer based; pre-r7 stores'
+ *    `_metrics` parquet dir is still read by metrics()). The name is NOT
+ *    underscore-prefixed on purpose: Spark's file index silently filters
+ *    `_`-prefixed files, so an `_metrics.jsonl` would read as empty.
  *
  * Swapping this for a real Iceberg catalog is a config change: `runStage`
  * maps to `writeTo(...).createOrReplace()` + snapshot lookup.
@@ -170,25 +173,27 @@ final class StageStore(val spark: SparkSession, val root: String) {
       }
       val rows = perPart.map(_._2).sum
       val durMs = (System.nanoTime() - t0) / 1e6
-      // per-partition metrics (lineage + skew visibility at scale)
-      val metrics = spark.createDataFrame(
-        spark.sparkContext.parallelize(perPart.toSeq.map { case (p, r) =>
-          org.apache.spark.sql.Row(p, r) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("partition_id",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("rows",
-            org.apache.spark.sql.types.LongType))))
-        .withColumn("stage", lit(name))
-        .withColumn("run_fingerprint", lit(fingerprint))
+      // Per-partition metrics (lineage + skew visibility at scale) as a
+      // DRIVER-SIDE JSONL journal append (r7): the parquet Append here was
+      // a scheduled Spark job per stage whose committer setup + output
+      // listing measured ~0.5 s of driver time per stage on the
+      // incremental path — for a handful of rows already sitting in driver
+      // memory. One buffered file append under the same lock; metrics()
+      // reads the journal (and any legacy parquet dir) back as the same
+      // relation. Best-effort diagnostics, not part of the stage commit
+      // point, so a torn tail line on crash loses only that stage's rows.
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val metricsJson = perPart.map { case (p, r) =>
+        s"""{"partition_id":$p,"rows":$r,"stage":"${esc(name)}",""" +
+          s""""run_fingerprint":"${esc(fingerprint)}"}"""
+      }.mkString("", "\n", "\n")
       // Serialized across threads: concurrent stage runs (IndexStore
-      // overlaps independent stages) must not Append into one directory
-      // concurrently — the Hadoop committer's shared _temporary staging
-      // dir is not safe for two simultaneous jobs on the same path.
+      // overlaps independent stages) must not interleave their appends.
       StageStore.metricsLock.synchronized {
-        JobLabel(spark, s"stage:$name:metrics") {
-          metrics.write.mode(SaveMode.Append).parquet(s"$root/_metrics")
-        }
+        Files.write(Paths.get(root, "stage_metrics.jsonl"),
+          metricsJson.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       }
       writeManifest(name, Map(
         "stage" -> name,
@@ -201,7 +206,28 @@ final class StageStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  def metrics(): DataFrame = spark.read.parquet(s"$root/_metrics")
+  def metrics(): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("run_fingerprint",
+        org.apache.spark.sql.types.StringType)))
+    val journal = Paths.get(root, "stage_metrics.jsonl")
+    val legacy = Paths.get(root, "_metrics") // pre-r7 parquet Append dir
+    val parts = Seq(
+      if (Files.exists(journal))
+        Some(spark.read.schema(schema).json(journal.toString)) else None,
+      if (Files.exists(legacy))
+        Some(spark.read.parquet(legacy.toString)
+          .select("partition_id", "rows", "stage", "run_fingerprint"))
+      else None).flatten
+    require(parts.nonEmpty, s"no stage metrics recorded under $root")
+    parts.reduce(_ unionByName _)
+  }
 }
 
 object StageStore {
