@@ -626,9 +626,17 @@ object DedupPipeline {
         sigsIn.withColumn("band_keys", bandKeysCol(cfg)).drop("sig")
       else sigsIn
     val sigs = Materialize(trimmed)
-    val e = edgesRaw(sigs, cfg)
-    val comps = ConnectedComponents.run(e) // (id, comp)
-    // CC materialized the edge set, so the wide signatures relation
+    // Edge set materialized eagerly (r7; ~16 B/edge blocks), for two
+    // consumers: runAuto's small-graph probe reads blocks instead of
+    // re-evaluating the whole candidate/verify lineage, and small corpora
+    // (the per-table dedup ops, the small-SF oracle runs) then label in a
+    // driver union-find instead of paying a dozen scheduled label-
+    // propagation jobs — while a corpus-scale edge set exceeds the bound
+    // and runs the distributed rounds reading the same blocks.
+    val e = Materialize(edgesRaw(sigs, cfg))
+    val comps = ConnectedComponents.runAuto(e) // (id, comp)
+    Materialize.release(e) // fully consumed by runAuto's return
+    // CC is done with the edges, so the wide signatures relation
     // (shingle/sig/fingerprint arrays) has served its purpose — keep only
     // the narrow doc projection and release the blocks.
     val docs = Materialize(sigs.select("url", "doc_id", "warc_ts"))
