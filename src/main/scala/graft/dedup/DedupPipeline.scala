@@ -260,7 +260,8 @@ object DedupPipeline {
     * design forbids. Winnow buckets are always pure star: a shared
     * fingerprint is transitive evidence, no pairwise verify follows. */
   def candidateEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    pairsFromBuckets(bucketed(sigs, cfg), cfg.smallCap, alwaysStarPass = PassWinnow)
+    pairsFromBucketsAuto(bucketed(sigs, cfg), cfg.smallCap,
+      alwaysStarPass = PassWinnow)
 
   /** Exact pairs in small buckets, star edges in hot ones, over any
     * (doc_id, pass, bucket_key) relation; buckets of `alwaysStarPass` (-1

@@ -375,7 +375,11 @@ object TrainingOps {
     val bucketed = annBuckets(spark, dir, nBits, nTables, seed)
       .withColumnRenamed("vec_id", "doc_id")
       .withColumn("pass", lit(0))
-    val pairs = DedupPipeline.pairsFromBuckets(bucketed, smallCap,
+    // Auto (r7): a small embedding table's bucket relation collects and
+    // pair-enumerates in the driver (same policy/pair set; bounded); a
+    // corpus-scale one exceeds the bound and runs the one-shuffle
+    // bounded-agg generator — the probe's limit stops the explode early.
+    val pairs = DedupPipeline.pairsFromBucketsAuto(bucketed, smallCap,
       alwaysStarPass = -1)
     pairs
       .join(e.select(col("vec_id").as("src"), col("embedding").as("v_a")), "src")
