@@ -365,3 +365,41 @@ class DedupPipelineSpec extends AnyFunSuite {
     flagged.checkConfig() // matching instance passes
   }
 }
+
+/** r7: the driver fast path of the shared candidate generator must emit
+  * EXACTLY the distributed form's pair set — same cap policy, star passes,
+  * true-min anchors, cross-bucket dedup — on a randomized relation that
+  * includes over-cap buckets, alwaysStar buckets and duplicate
+  * (doc_id, bucket) rows. */
+class PairsFromBucketsAutoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("driver enumeration == distributed bounded-agg pair set") {
+    val rnd = new scala.util.Random(7)
+    val smallCap = 4
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    // pass 0/1: pairwise passes; pass 2: alwaysStar. Bucket sizes 1..9
+    // straddle the cap; ~10% duplicated rows.
+    for (pass <- 0 to 2; b <- 0 until 40) {
+      val key = rnd.nextLong()
+      val sz = 1 + rnd.nextInt(9)
+      val members = Seq.fill(sz)(rnd.nextInt(50).toLong + 100 * pass)
+      members.foreach { m =>
+        rows += ((pass, key, m))
+        if (rnd.nextInt(10) == 0) rows += ((pass, key, m)) // duplicate row
+      }
+    }
+    val rel = rows.toSeq.toDF("pass", "bucket_key", "doc_id")
+      .repartition(7) // multi-partition partials on the distributed side
+    val dist = DedupPipeline.pairsFromBuckets(rel, smallCap, alwaysStarPass = 2)
+      .as[(Int, Long, Long)].collect().toSet
+    val local = DedupPipeline.pairsFromBucketsLocal(rel, smallCap,
+      alwaysStarPass = 2)
+    assert(local.isDefined)
+    assert(local.get.toSet == dist)
+    // over the bound: falls back to the distributed form
+    assert(DedupPipeline.pairsFromBucketsLocal(rel, smallCap, 2,
+      smallRowBound = 10).isEmpty)
+  }
+}
